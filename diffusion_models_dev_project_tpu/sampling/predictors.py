@@ -1,0 +1,214 @@
+"""Posterior-sampling predictor steps, as pure jit-able functions.
+
+TPU-native re-design of the reference predictor library
+(`/root/reference/src/samplers/utils.py`):
+
+- `euler_maruyama_step`  — naive score-SDE posterior sampling and DPS
+  (aTweedy=True) for VE/VP models (samplers/utils.py:11-71),
+- `ancestral_step`       — DPS in the discrete DDPM framework
+  (samplers/utils.py:74-125),
+- `dds_step`             — Decomposed Diffusion Sampling: Tweedie -> CG data
+  consistency -> DDIM (samplers/utils.py:159-218),
+- `langevin_corrector`   — Langevin MCMC corrector (samplers/utils.py:128-157),
+- `wrapper_ddim_step`    — unconditional DDIM used for validation sampling
+  (samplers/utils.py:436-451).
+
+Each function maps `(x, key) -> (x_next, x_mean)` for one step; the engine
+stacks them inside a single `lax.scan`, so a 1000-step reverse diffusion is
+ONE device program with no host round-trips (the reference synchronizes with
+the host every step, base_sampler.py:109-116).
+
+Gradients of the data-fit term (`nloglik`) are taken with `jax.grad` —
+including, for DPS, differentiation through the UNet score network —
+replacing `torch.autograd.grad` (samplers/utils.py:58).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.cg import cg
+from ..ops.diffusion import ddim, tweedy
+from ..ops.sde import SDE, DDPM
+
+__all__ = ["euler_maruyama_step", "ancestral_step", "dds_step",
+           "langevin_corrector", "wrapper_ddim_step", "make_nloglik",
+           "make_dc_op"]
+
+
+def _b(v, ndim):
+    v = jnp.asarray(v)
+    return v.reshape(v.shape + (1,) * (ndim - v.ndim))
+
+
+def make_nloglik(ray_trafo, observation: jnp.ndarray) -> Callable:
+    """||y - A x||_2 over the full tensor (reference exp_utils.py:131,143)."""
+
+    def nloglik(x):
+        return jnp.linalg.norm((observation - ray_trafo.apply(x)).ravel())
+
+    return nloglik
+
+
+def make_dc_op(ray_trafo, gamma: float) -> Callable:
+    """x -> x + gamma AᵀA x, the CG system operator (samplers/utils.py:188-189)."""
+
+    def op(x):
+        return x + gamma * ray_trafo.adjoint(ray_trafo.apply(x))
+
+    return op
+
+
+def euler_maruyama_step(
+    score_fn: Callable,
+    sde: SDE,
+    x: jnp.ndarray,
+    key: jax.Array,
+    t: jnp.ndarray,
+    step_size: float,
+    nloglik: Optional[Callable] = None,
+    datafitscale: Optional[jnp.ndarray] = None,
+    penalty: float = 1.0,
+    aTweedy: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One Euler-Maruyama predictor step (naive / DPS for VE-VP)."""
+    assert sde.prediction_type == "score"
+
+    if nloglik is None:
+        s = score_fn(x, t)
+        grad = None
+        loss = None
+    elif not aTweedy:
+        s = score_fn(x, t)
+        grad = jax.grad(nloglik)(x)
+    else:
+        # DPS: gradient flows through Tweedie and therefore through the UNet
+        def loss_of_x(xx):
+            s_inner = score_fn(xx, t)
+            xhat0 = tweedy(s_inner, xx, sde, t)
+            return nloglik(xhat0), s_inner
+
+        (loss, s), grad = jax.value_and_grad(loss_of_x, has_aux=True)(x)
+
+    drift, diffusion = sde.sde(x, t)
+    diff2 = _b(diffusion, x.ndim) ** 2
+    _s = s
+    if nloglik is not None and not aTweedy:
+        _s = _s - penalty * grad * datafitscale
+    x_mean = x - (drift - diff2 * _s) * step_size
+    noise = jnp.sqrt(diff2 * step_size) * jax.random.normal(key, x.shape, x.dtype)
+    x_next = x_mean + noise
+    if aTweedy and nloglik is not None:
+        x_next = x_next - penalty * grad * (loss ** -1)
+    return x_next, x_mean
+
+
+def ancestral_step(
+    score_fn: Callable,
+    sde: DDPM,
+    x: jnp.ndarray,
+    key: jax.Array,
+    t: jnp.ndarray,
+    nloglik: Optional[Callable] = None,
+    penalty: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DPS via ancestral sampling for DDPM (samplers/utils.py:74-125).
+
+    `t` is the integer step index vector (B,).
+    """
+    assert sde.prediction_type == "epsilon"
+
+    if nloglik is None:
+        s = score_fn(x, t)
+        xhat0 = tweedy(s, x, sde, t)
+        grad = None
+    else:
+        def loss_of_x(xx):
+            s_inner = score_fn(xx, t)
+            xh = tweedy(s_inner, xx, sde, t)
+            return nloglik(xh), (s_inner, xh)
+
+        (loss, (s, xhat0)), grad = jax.value_and_grad(loss_of_x, has_aux=True)(x)
+
+    std_t = _b(sde.marginal_prob_std(t), x.ndim)
+    alpha_t = sde.alphas[t[0].astype(jnp.int32)]
+    x_mean = (x - (1.0 - alpha_t) / std_t * s) / jnp.sqrt(alpha_t)
+    noise = jnp.sqrt(1.0 - alpha_t) * jax.random.normal(key, x.shape, x.dtype)
+    if nloglik is not None:
+        x_mean = x_mean - penalty * grad * (loss ** -1)
+    return x_mean + noise, xhat0
+
+
+def dds_step(
+    score_fn: Callable,
+    sde: SDE,
+    x: jnp.ndarray,
+    key: jax.Array,
+    t: jnp.ndarray,
+    t_prev: jnp.ndarray,
+    rhs: jnp.ndarray,
+    ray_trafo,
+    gamma: float,
+    eta: float,
+    cg_iter: int,
+    use_simplified_eqn: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decomposed Diffusion Sampling predictor (samplers/utils.py:159-218).
+
+    One UNet forward + Tweedie + `cg_iter` CG iterations on
+    (I + gamma AᵀA) xhat = xhat0 + gamma Aᵀy + DDIM update.
+    """
+    op = make_dc_op(ray_trafo, gamma)
+    s = score_fn(x, t)
+    xhat0 = tweedy(s, x, sde, t)
+    xhat = cg(op, xhat0, xhat0 + gamma * rhs, n_iter=cg_iter)
+    x_next = ddim(sde, s, xhat, t, t_prev, eta, key,
+                  use_simplified_eqn=use_simplified_eqn)
+    return x_next, xhat0
+
+
+def langevin_corrector(
+    score_fn: Callable,
+    sde: SDE,
+    x: jnp.ndarray,
+    key: jax.Array,
+    t: jnp.ndarray,
+    nloglik: Optional[Callable] = None,
+    datafitscale: Optional[jnp.ndarray] = None,
+    penalty: float = 1.0,
+    corrector_steps: int = 1,
+    snr: float = 0.16,
+) -> jnp.ndarray:
+    """Langevin MCMC corrector (samplers/utils.py:128-157)."""
+    assert sde.prediction_type == "score"
+    import numpy as np
+
+    noise_norm = float(np.sqrt(np.prod(x.shape[1:])))
+    for i in range(corrector_steps):
+        key, sub = jax.random.split(key)
+        s = score_fn(x, t)
+        overall = s
+        if nloglik is not None:
+            overall = s - penalty * jax.grad(nloglik)(x) * datafitscale
+        gnorm = jnp.mean(jnp.linalg.norm(overall.reshape(overall.shape[0], -1), axis=-1))
+        step = 2.0 * (snr * noise_norm / gnorm) ** 2
+        x = x + step * overall + jnp.sqrt(2.0 * step) * jax.random.normal(sub, x.shape, x.dtype)
+    return x
+
+
+def wrapper_ddim_step(
+    score_fn: Callable,
+    sde: SDE,
+    x: jnp.ndarray,
+    key: jax.Array,
+    t: jnp.ndarray,
+    t_prev: jnp.ndarray,
+    eta: float = 0.85,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unconditional DDIM step (reference `wrapper_ddim`, utils.py:436-451)."""
+    s = score_fn(x, t)
+    xhat0 = tweedy(s, x, sde, t)
+    x_next = ddim(sde, s, xhat0, t, t_prev, eta, key, use_simplified_eqn=False)
+    return x_next, xhat0

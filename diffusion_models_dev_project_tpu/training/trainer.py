@@ -1,0 +1,159 @@
+"""Score-model training loop: one jitted SPMD step, orbax checkpoints.
+
+TPU-native re-design of `score_model_simple_trainer`
+(`/root/reference/src/utils/trainer.py:19-108`):
+
+- the whole optimization step (loss, grads, Adam, EMA) is ONE jitted
+  program; the host only feeds data and occasionally reads the loss,
+- data parallelism over a `jax.sharding.Mesh` ('data' axis): batches are
+  sharded, parameters replicated, XLA inserts the grad psum over ICI,
+- EMA with the reference's warm start (trainer.py:52-55) and decay ramp,
+  implemented as a `lax.cond` inside the step instead of host branching,
+- orbax checkpoints of (params, EMA, opt_state, step) — unlike the
+  reference (which saves weights only, trainer.py:57-63), training is fully
+  resumable mid-run (SURVEY.md §5.4),
+- optional periodic unconditional sample grids (trainer.py:67-104).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.sde import SDE
+from .ema import EmaState, ema_init, ema_update
+from .losses import epsilon_matching_loss, score_matching_loss
+
+__all__ = ["TrainState", "make_train_step", "train_score_model"]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema: EmaState
+    step: jnp.ndarray
+
+
+def make_train_step(model_apply: Callable, sde: SDE, optimizer,
+                    ema_decay: float, ema_warm_start_steps: int):
+    """Build the jitted (state, batch, key) -> (state, loss) step."""
+
+    loss_impl = (score_matching_loss if sde.prediction_type == "score"
+                 else epsilon_matching_loss)
+
+    def loss_fn(params, key, batch):
+        model = lambda x, t: model_apply(params, x, t)
+        if sde.prediction_type == "score":
+            return loss_impl(key, batch, model, sde)
+        return loss_impl(key, batch, model, sde)
+
+    def step_fn(state: TrainState, batch: jnp.ndarray, key: jax.Array):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, key, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # EMA warm start: track params verbatim until `ema_warm_start_steps`,
+        # then switch to exponential averaging (reference trainer.py:52-55).
+        def warm(_):
+            return EmaState(shadow=params, num_updates=jnp.zeros((), jnp.int32))
+
+        def update(_):
+            return ema_update(state.ema, params, ema_decay)
+
+        ema = jax.lax.cond(state.step < ema_warm_start_steps, warm, update,
+                           operand=None)
+        return TrainState(params, opt_state, ema, state.step + 1), loss
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+@dataclasses.dataclass
+class TrainLog:
+    """Minimal metrics sink: stdout + JSONL file (reference used
+    TensorBoard scalars, trainer.py:50-51,66)."""
+
+    log_dir: str
+
+    def __post_init__(self):
+        os.makedirs(self.log_dir, exist_ok=True)
+        self._f = open(os.path.join(self.log_dir, "train_log.jsonl"), "a")
+
+    def scalar(self, name, value, step):
+        import json
+
+        self._f.write(json.dumps({"name": name, "value": float(value),
+                                  "step": int(step), "time": time.time()}) + "\n")
+        self._f.flush()
+
+
+def train_score_model(
+    model_apply: Callable,
+    init_params,
+    sde: SDE,
+    train_iter: Iterable[np.ndarray],
+    *,
+    epochs: int,
+    steps_per_epoch: int,
+    lr: float = 1e-4,
+    ema_decay: float = 0.999,
+    ema_warm_start_steps: int = 400,
+    log_freq: int = 25,
+    save_model_every_n_epoch: int = 25,
+    log_dir: str = "./runs",
+    seed: int = 1,
+    mesh=None,
+    checkpointer=None,
+    sample_hook: Optional[Callable] = None,
+    sample_freq: int = 0,
+) -> TrainState:
+    """Run the training loop; returns final state.
+
+    `train_iter` yields NHWC numpy/jax batches.  `checkpointer` is a
+    `utils.checkpoint.Checkpointer` (orbax); `sample_hook(state, epoch)` may
+    produce validation samples (reference trainer.py:67-104).
+    """
+    optimizer = optax.adam(lr)
+    state = TrainState(params=init_params, opt_state=optimizer.init(init_params),
+                       ema=ema_init(init_params), step=jnp.zeros((), jnp.int32))
+    step_fn = make_train_step(model_apply, sde, optimizer, ema_decay,
+                              ema_warm_start_steps)
+    log = TrainLog(log_dir)
+    key = jax.random.PRNGKey(seed)
+
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_batch
+
+        state = replicate(mesh, state)
+
+    data_it = iter(train_iter)
+    for epoch in range(epochs):
+        epoch_loss, n_items = 0.0, 0
+        for i in range(steps_per_epoch):
+            batch = next(data_it)
+            batch = jnp.asarray(batch)
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                batch = shard_batch(mesh, batch)
+            key, sub = jax.random.split(key)
+            state, loss = step_fn(state, batch, sub)
+            if i % log_freq == 0:
+                log.scalar("train/loss", float(loss), int(state.step))
+            epoch_loss += float(loss) * batch.shape[0]
+            n_items += batch.shape[0]
+        mean_loss = epoch_loss / max(n_items, 1)
+        log.scalar("train/mean_loss_per_epoch", mean_loss, epoch + 1)
+        print(f"epoch {epoch}: mean loss {mean_loss:.5f}")
+
+        if checkpointer is not None and (
+                epoch % save_model_every_n_epoch == 0 or epoch == epochs - 1):
+            checkpointer.save(state, step=int(state.step))
+        if sample_freq > 0 and epoch % sample_freq == 0 and sample_hook is not None:
+            sample_hook(state, epoch)
+
+    return state

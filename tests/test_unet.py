@@ -1,0 +1,116 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffusion_models_dev_project_tpu.models import (
+    UNetModel, UNetConfig, build_arch_spec, convert_torch_state_dict,
+    convert_ema_state, timestep_embedding, torch_key_map)
+
+from _reference import load_ref_unet
+
+ref_unet = load_ref_unet()
+
+TINY = UNetConfig(
+    image_size=32, in_channels=1, out_channels=1, model_channels=32,
+    num_res_blocks=1, attention_resolutions=(4,), channel_mult=(1, 2),
+    num_heads=4, num_head_channels=8, use_scale_shift_norm=True,
+    resblock_updown=True)
+
+
+def _init(cfg, bs=2):
+    model = UNetModel(cfg)
+    x = jnp.zeros((bs, cfg.image_size, cfg.image_size, cfg.in_channels))
+    t = jnp.ones((bs,)) * 0.5
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    return model, params
+
+
+def test_timestep_embedding_matches_convention():
+    t = jnp.array([0.0, 1.0, 7.3])
+    emb = timestep_embedding(t, 16)
+    assert emb.shape == (3, 16)
+    np.testing.assert_allclose(np.asarray(emb[0, :8]), np.ones(8), atol=1e-6)  # cos(0)
+    np.testing.assert_allclose(np.asarray(emb[0, 8:]), np.zeros(8), atol=1e-6)  # sin(0)
+
+
+def test_unet_forward_shapes_and_zero_init():
+    model, params = _init(TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    out = model.apply(params, x, jnp.ones((2,)) * 0.3)
+    assert out.shape == (2, 32, 32, 1)
+    # zero-init final conv -> output is exactly 0 at init
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=0.0)
+
+
+def test_unet_learn_sigma_slices_channel():
+    cfg = UNetConfig(**{**TINY.__dict__, "out_channels": 2})
+    model, params = _init(cfg)
+    out = model.apply(params, jnp.ones((1, 32, 32, 1)), jnp.ones((1,)))
+    assert out.shape == (1, 32, 32, 1)
+
+
+def test_arch_spec_counts():
+    inp, mid, outp, ch0 = build_arch_spec(TINY)
+    # stem + per level (1 res[+attn]) + downs between levels
+    assert len(inp) == 1 + 2 * TINY.num_res_blocks + 1
+    assert len(mid) == 3
+    assert len(outp) == len(TINY.channel_mult) * (TINY.num_res_blocks + 1)
+    assert ch0 == 32
+
+
+@pytest.mark.skipif(ref_unet is None, reason="reference torch UNet unavailable")
+class TestTorchParity:
+    def _torch_model(self, out_channels=1):
+        import torch
+
+        torch.manual_seed(0)
+        m = ref_unet.UNetModel(
+            image_size=32, in_channels=1, model_channels=32,
+            out_channels=out_channels, num_res_blocks=1,
+            attention_resolutions=(4,), dropout=0.0, channel_mult=(1, 2),
+            num_classes=None, use_checkpoint=False, use_fp16=False,
+            num_heads=4, num_head_channels=8, num_heads_upsample=-1,
+            use_scale_shift_norm=True, resblock_updown=True,
+            use_new_attention_order=False)
+        m.eval()
+        # randomize the zero-init weights too, to make the test discriminative
+        with torch.no_grad():
+            for name, p in m.named_parameters():
+                if p.abs().sum() == 0:
+                    p.add_(torch.randn_like(p) * 0.02)
+        return m
+
+    def test_key_map_covers_state_dict(self):
+        m = self._torch_model()
+        keys = {k for k, _, _ in torch_key_map(TINY)}
+        assert keys == set(m.state_dict().keys())
+
+    @pytest.mark.parametrize("out_channels", [1, 2])
+    def test_forward_parity(self, out_channels):
+        import torch
+
+        m = self._torch_model(out_channels)
+        cfg = UNetConfig(**{**TINY.__dict__, "out_channels": out_channels})
+        params = {"params": convert_torch_state_dict(m.state_dict(), cfg)}
+        model = UNetModel(cfg)
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 1, 32, 32)).astype(np.float32)
+        t = np.array([0.2, 0.8], dtype=np.float32)
+        with torch.no_grad():
+            ref_out = m(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+        ours = model.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
+        ours = np.asarray(ours).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, ref_out, rtol=2e-4, atol=2e-5)
+
+    def test_ema_conversion(self):
+        import torch
+
+        m = self._torch_model()
+        shadow = [p.clone() for p in m.parameters()]
+        ema_state = {"decay": 0.999, "num_updates": 10, "shadow_params": shadow}
+        params = convert_ema_state(ema_state, TINY)
+        direct = convert_torch_state_dict(m.state_dict(), TINY)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b), params, direct)
