@@ -69,8 +69,10 @@ def get_standard_score(config, sde: SDE, use_ema: bool = False,
         print(f"Model ckpt loaded from {ckpt_path}")
     else:
         x = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.in_channels))
-        params = model.init(jax.random.PRNGKey(config.seed or 0), x,
-                            jnp.zeros((1,)))["params"]
+        # jit the init: ONE compiled program instead of one per param shape
+        # (eager init costs minutes for the 256^2 model)
+        params = jax.jit(model.init)(jax.random.PRNGKey(config.seed or 0), x,
+                                     jnp.zeros((1,)))["params"]
 
     def score_fn(x, t):
         return model.apply({"params": params}, x, t)
@@ -108,7 +110,8 @@ def get_standard_ray_trafo(config) -> RayTransform:
     if name == "simple_trafo":
         return make_parallel_beam_trafo(
             (config.data.im_size, config.data.im_size),
-            config.forward_op.num_angles)
+            config.forward_op.num_angles,
+            impl=config.forward_op.get("impl", "fft"))
     if name == "walnut_trafo":
         from .physics.walnut import get_walnut_2d_ray_trafo
 

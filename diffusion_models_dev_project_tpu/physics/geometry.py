@@ -59,9 +59,15 @@ def joseph_system_matrix(geom: ParallelBeamGeometry):
     """Assemble A as COO triplets (rows, cols, vals) with Joseph's method.
 
     Row index = angle_idx * det_count + det_idx; column index = i * W + j.
-    Fully vectorized numpy; runs once per geometry (compare the per-call CUDA
-    launches of the reference's ASTRA path).
+    Runs once per geometry; uses the multithreaded C++ assembler
+    (native/projector.cpp) when built, vectorized numpy otherwise.
     """
+    from .native import native_joseph_coo
+
+    nat = native_joseph_coo(geom.angles, geom.im_shape[0], geom.im_shape[1],
+                            geom.det_count, geom.det_spacing)
+    if nat is not None:
+        return nat
     H, W = geom.im_shape
     D = geom.det_count
     xs = np.arange(W) - (W - 1) / 2.0        # physical x of column j

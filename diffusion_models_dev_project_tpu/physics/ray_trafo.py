@@ -85,6 +85,9 @@ class RayTransform:
     fbp_scale: float = 1.0
     fbp_filter: str = "ramp"
     resize_shape: Optional[Tuple[int, int]] = None   # model-grid shape, if any
+    # optional geometry-specific fbp override, e.g. the walnut FDK
+    # (physics/walnut.py); called as custom_fbp(self, y)
+    custom_fbp: Optional[callable] = None
 
     # --- pytree plumbing -------------------------------------------------
     def tree_flatten(self):
@@ -92,15 +95,18 @@ class RayTransform:
         aux = (self.im_shape, self.obs_shape,
                None if self.angles is None else self.angles.tobytes(),
                None if self.angles is None else self.angles.shape,
-               self.fbp_scale, self.fbp_filter, self.resize_shape)
+               self.fbp_scale, self.fbp_filter, self.resize_shape,
+               self.custom_fbp)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        im_shape, obs_shape, ang_b, ang_shape, fbp_scale, fbp_filter, resize_shape = aux
+        (im_shape, obs_shape, ang_b, ang_shape, fbp_scale, fbp_filter,
+         resize_shape, custom_fbp) = aux
         angles = None if ang_b is None else np.frombuffer(ang_b).reshape(ang_shape)
         return cls(*leaves, im_shape=im_shape, obs_shape=obs_shape, angles=angles,
-                   fbp_scale=fbp_scale, fbp_filter=fbp_filter, resize_shape=resize_shape)
+                   fbp_scale=fbp_scale, fbp_filter=fbp_filter,
+                   resize_shape=resize_shape, custom_fbp=custom_fbp)
 
     # --- shapes ----------------------------------------------------------
     @property
@@ -137,8 +143,11 @@ class RayTransform:
 
         Same structure as the reference's torch-radon path
         (`backprojection(filter_sinogram(x))`, trafo.py:42) with a
-        geometry-calibrated global scale.
+        geometry-calibrated global scale.  Geometry-specific overrides (the
+        walnut FDK) plug in via `custom_fbp`.
         """
+        if self.custom_fbp is not None:
+            return self.custom_fbp(self, y)
         filt = ramp_filter_sinogram(y, filter_name=self.fbp_filter)
         return self.adjoint(filt) * self.fbp_scale
 
@@ -153,18 +162,35 @@ def _calibrate_fbp_scale(trafo: RayTransform) -> float:
     yy, xx = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w), indexing="ij")
     blob = np.exp(-((xx ** 2 + yy ** 2) / 0.15)).astype(np.float32)
     x = jnp.asarray(blob)[None, :, :, None]
-    rec = np.asarray(trafo.fbp(trafo.apply(x)))[0, :, :, 0]
+    rec = np.asarray(jax.jit(lambda t, v: t.fbp(t.apply(v)))(trafo, x))[0, :, :, 0]
     scale = float((blob * rec).sum() / (rec * rec).sum())
     return scale
 
 
 def make_parallel_beam_trafo(im_shape: Tuple[int, int], num_angles: int,
-                             cache: bool = True) -> RayTransform:
+                             cache: bool = True, impl: str = "fft"):
     """Build the 2D parallel-beam operator (reference `SimpleTrafo`,
-    trafo.py:16-68) with Joseph ELL tables; cached per geometry."""
-    key = ("parallel", im_shape, num_angles)
+    trafo.py:16-68); cached per geometry.
+
+    Two implementations of the same `parallel_beam_geometry`, mirroring the
+    reference's odl-vs-torch-radon `impl` switch (trafo.py:17,29-45):
+    - 'fft'    — gather-free FFT shear-rotation projector (fft_radon.py),
+                 the TPU fast path (~100x faster apply at 256²),
+    - 'matrix' — exact Joseph ELL sparse tables (this module), the
+                 ground-truth discretization used for cross-checks and as
+                 the template for matrix-defined operators (walnut).
+    """
+    key = ("parallel", im_shape, num_angles, impl)
     if cache and key in _TRAFO_CACHE:
         return _TRAFO_CACHE[key]
+    if impl == "fft":
+        from .fft_radon import make_fft_parallel_trafo
+
+        trafo = make_fft_parallel_trafo(im_shape, num_angles)
+        if cache:
+            _TRAFO_CACHE[key] = trafo
+        return trafo
+    assert impl == "matrix", impl
     geom = parallel_beam_geometry(im_shape, num_angles)
     rows, cols, vals = joseph_system_matrix(geom)
     n = int(np.prod(im_shape))
@@ -184,7 +210,8 @@ def make_parallel_beam_trafo(im_shape: Tuple[int, int], num_angles: int,
 def make_matmul_trafo(matrix, im_shape: Tuple[int, int], obs_shape: Tuple[int, ...],
                       resize_shape: Optional[Tuple[int, int]] = None,
                       angles: Optional[np.ndarray] = None,
-                      calibrate_fbp: bool = True) -> RayTransform:
+                      calibrate_fbp: bool = True,
+                      custom_fbp=None) -> RayTransform:
     """Operator from an explicit (scipy sparse or dense numpy) matrix,
     the TPU equivalent of reference `MatmulRayTrafo` (matmul_ray_trafo.py:42).
 
@@ -208,7 +235,7 @@ def make_matmul_trafo(matrix, im_shape: Tuple[int, int], obs_shape: Tuple[int, .
         fwd_idx=jnp.asarray(fwd.idx), fwd_w=jnp.asarray(fwd.w),
         adj_idx=jnp.asarray(adj.idx), adj_w=jnp.asarray(adj.w),
         im_shape=im_shape, obs_shape=tuple(obs_shape), angles=angles,
-        resize_shape=resize_shape)
-    if calibrate_fbp and len(obs_shape) == 2:
+        resize_shape=resize_shape, custom_fbp=custom_fbp)
+    if calibrate_fbp and custom_fbp is None and len(obs_shape) == 2:
         trafo.fbp_scale = _calibrate_fbp_scale(trafo)
     return trafo

@@ -1,0 +1,132 @@
+"""Steerable (adapted) sampling CLI.
+
+TPU-native counterpart of the reference `run_adapted_sampling.py:11-127`:
+same flags and per-image protocol.  Where the reference re-loads a fresh
+score model after every image to reset the LoRA surgery
+(run_adapted_sampling.py:102-105), we simply start each image from a fresh
+LoRA tree + the immutable base params — no reload, no surgery.
+"""
+import argparse
+import json
+from itertools import islice
+
+import numpy as np
+
+parser = argparse.ArgumentParser(description="adapted (steerable) sampling")
+parser.add_argument("--dataset", default="ellipses",
+                    choices=["walnut", "ellipses", "aapm"])
+parser.add_argument("--model_learned_on", default="ellipses",
+                    choices=["ellipses", "aapm"])
+parser.add_argument("--method", default="dds", choices=["dds"])
+parser.add_argument("--noise_level", default=0.01)
+parser.add_argument("--ema", action="store_true")
+parser.add_argument("--num_steps", default=50)
+parser.add_argument("--tv_penalty", default=1e-6)
+parser.add_argument("--eta", default=0.85)
+parser.add_argument("--sde", default="vesde", choices=["vpsde", "vesde", "ddpm"])
+parser.add_argument("--adaptation", default="lora", choices=["lora"])
+parser.add_argument("--num_optim_step", default=10)
+parser.add_argument("--adapt_freq", default=1)
+parser.add_argument("--lora_include_blocks",
+                    default=["input_blocks", "middle_block", "output_blocks", "out"],
+                    nargs="+")
+parser.add_argument("--lr", default=1e-3)
+parser.add_argument("--lora_rank", default=4)
+parser.add_argument("--add_cg", action="store_true",
+                    help="do DDS steps after adaptation")
+parser.add_argument("--cg_iter", default=1)
+parser.add_argument("--gamma", default=0.01)
+parser.add_argument("--load_path", help="path to a model checkpoint")
+parser.add_argument("--dc_type", default="cg", choices=["cg", "gd", "none"])
+parser.add_argument("--stddev", default=None)
+parser.add_argument("--early_stopping_pct", default=1.0)
+parser.add_argument("--num_images", default=None)
+parser.add_argument("--version", default=1)
+
+
+def coordinator(args):
+    import jax
+    import jax.numpy as jnp
+
+    import diffusion_models_dev_project_tpu.factory as F
+    from diffusion_models_dev_project_tpu.utils.metrics import PSNR, SSIM
+    from diffusion_models_dev_project_tpu.utils.reporting import (
+        save_image_png, save_recon_info, write_report)
+
+    config, dataconfig = F.get_standard_configs(args)
+    try:
+        save_root = F.get_standard_path(args, run_type="adapt",
+                                        data_part=dataconfig.data.part)
+    except AttributeError:
+        save_root = F.get_standard_path(args, run_type="adapt")
+    print("save to:", save_root)
+    save_root.mkdir(parents=True, exist_ok=True)
+
+    if args.stddev is not None:
+        dataconfig.data.stddev = float(args.stddev)
+
+    sde = F.get_standard_sde(config)
+    model, params, _ = F.get_standard_score(
+        config, sde, use_ema=args.ema, load_model=args.load_path is not None,
+        ckpt_path=args.load_path, lora_rank=int(args.lora_rank),
+        lora_include_blocks=tuple(args.lora_include_blocks))
+    ray_trafo = F.get_standard_ray_trafo(dataconfig)
+    dataset = F.get_standard_dataset(dataconfig, ray_trafo)
+
+    num_images = int(args.num_images) if args.num_images is not None else \
+        dataconfig.data.validation.num_images
+    seed = config.seed or 0
+    sampler = None
+    _psnr, _ssim = [], []
+    for i, data_sample in enumerate(islice(iter(dataset), num_images)):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+        if isinstance(data_sample, (tuple, list)) and len(data_sample) == 3:
+            observation, ground_truth, filtbackproj = map(jnp.asarray, data_sample)
+        else:
+            gt = jnp.asarray(data_sample)
+            if gt.ndim == 3:
+                gt = gt[None]
+            ground_truth, observation, filtbackproj = F.get_data_from_ground_truth(
+                gt, ray_trafo, dataconfig.data.stddev, key)
+
+        if sampler is None:
+            sampler = F.get_standard_adapted_sampler(
+                args.method, model, params, sde, ray_trafo, observation,
+                num_steps=int(args.num_steps), eta=float(args.eta),
+                gamma=float(args.gamma), tv_penalty=float(args.tv_penalty),
+                lr=float(args.lr), num_optim_step=int(args.num_optim_step),
+                adapt_freq=int(args.adapt_freq), lora_rank=int(args.lora_rank),
+                lora_include_blocks=tuple(args.lora_include_blocks),
+                add_cg=bool(args.add_cg), dc_type=args.dc_type,
+                cg_iter=int(args.cg_iter),
+                early_stopping_pct=float(args.early_stopping_pct),
+                ground_truth=ground_truth, lora_seed=i)
+        else:
+            # fresh LoRA per image = the reference's model re-load
+            from diffusion_models_dev_project_tpu.sampling.adaptation import init_lora
+
+            sampler.observation = observation
+            sampler.rhs = ray_trafo.adjoint(observation)
+            sampler.lora = init_lora(model, model.cfg, seed=i)
+
+        recon, _ = sampler.sample(jax.random.fold_in(key, 1))
+        recon = jnp.clip(recon, 0)
+        r = np.asarray(recon[0, ..., 0])
+        g = np.asarray(ground_truth[0, ..., 0])
+        save_recon_info(save_root / f"recon_{i}_info.npz", r, g)
+        save_image_png(save_root / f"recon_{i}.png", r)
+        psnr, ssim = PSNR(r, g), SSIM(r, g)
+        print(f"adapted reconstruction of sample {i}\nPSNR: {psnr}\nSSIM: {ssim}")
+        _psnr.append(psnr)
+        _ssim.append(ssim)
+
+    report = dict(dataconfig.to_dict())
+    report.update({k: str(v) for k, v in vars(args).items()})
+    report["PSNR"] = float(np.mean(_psnr))
+    report["SSIM"] = float(np.mean(_ssim))
+    write_report(save_root / "report.yaml", report)
+    print(json.dumps({"PSNR": report["PSNR"], "SSIM": report["SSIM"]}))
+
+
+if __name__ == "__main__":
+    coordinator(parser.parse_args())

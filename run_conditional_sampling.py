@@ -1,0 +1,127 @@
+"""Conditional posterior sampling CLI.
+
+TPU-native counterpart of the reference `run_conditional_sampling.py:11-107`:
+same flags, same per-image evaluation protocol (per-image seeds, clamp,
+`recon_{i}.png` + info blob, aggregated PSNR/SSIM in `report.yaml`), but the
+sampler is compiled ONCE and reused for every image (identical shapes), and
+each 1000-step reverse diffusion runs as a single on-device `lax.scan`.
+"""
+import argparse
+import json
+from itertools import islice
+
+import numpy as np
+
+parser = argparse.ArgumentParser(description="conditional sampling")
+parser.add_argument("--dataset", default="ellipses",
+                    choices=["walnut", "ellipses", "aapm"])
+parser.add_argument("--model_learned_on", default="ellipses",
+                    choices=["ellipses", "aapm"])
+parser.add_argument("--method", default="dds", choices=["naive", "dps", "dds"])
+parser.add_argument("--ema", action="store_true")
+parser.add_argument("--num_steps", default=1000)
+parser.add_argument("--penalty", default=1, help="reg. penalty for naive/dps")
+parser.add_argument("--gamma", default=0.01, help="reg. used for dds")
+parser.add_argument("--eta", default=0.15,
+                    help="dds stochastic/deterministic noise weighting")
+parser.add_argument("--pct_chain_elapsed", default=0,
+                    help="start the chain from noised FBP")
+parser.add_argument("--sde", default="vesde", choices=["vpsde", "vesde", "ddpm"])
+parser.add_argument("--cg_iter", default=5)
+parser.add_argument("--load_path", help="path to a model checkpoint "
+                    "(.pt reference checkpoint or orbax dir)")
+parser.add_argument("--stddev", default=None, help="noise level override")
+parser.add_argument("--early_stopping_pct", default=1.0,
+                    help="early stop sampling (DDPM/DPS only)")
+parser.add_argument("--num_images", default=None,
+                    help="override dataconfig.data.validation.num_images")
+parser.add_argument("--version", default=1)
+
+
+def coordinator(args):
+    import jax
+    import jax.numpy as jnp
+
+    import diffusion_models_dev_project_tpu.factory as F
+    from diffusion_models_dev_project_tpu.utils.metrics import PSNR, SSIM
+    from diffusion_models_dev_project_tpu.utils.reporting import (
+        save_image_png, save_recon_info, write_report)
+
+    config, dataconfig = F.get_standard_configs(args)
+    try:
+        save_root = F.get_standard_path(args, run_type=args.method,
+                                        data_part=dataconfig.data.part)
+    except AttributeError:
+        save_root = F.get_standard_path(args, run_type=args.method)
+    print("save to:", save_root)
+    save_root.mkdir(parents=True, exist_ok=True)
+
+    if args.stddev is not None:
+        dataconfig.data.stddev = float(args.stddev)
+
+    sde = F.get_standard_sde(config)
+    model, params, score_fn = F.get_standard_score(
+        config, sde, use_ema=args.ema, load_model=args.load_path is not None,
+        ckpt_path=args.load_path)
+    ray_trafo = F.get_standard_ray_trafo(dataconfig)
+    dataset = F.get_standard_dataset(dataconfig, ray_trafo)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    print("Number of parameters:", n_params)
+
+    num_images = int(args.num_images) if args.num_images is not None else \
+        dataconfig.data.validation.num_images
+    seed = config.seed or 0
+    sampler = None
+    _psnr, _ssim = [], []
+    for i, data_sample in enumerate(islice(iter(dataset), num_images)):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+        if isinstance(data_sample, (tuple, list)) and len(data_sample) == 3:
+            observation, ground_truth, filtbackproj = map(jnp.asarray, data_sample)
+        else:
+            gt = jnp.asarray(data_sample)
+            if gt.ndim == 3:
+                gt = gt[None]
+            ground_truth, observation, filtbackproj = F.get_data_from_ground_truth(
+                gt, ray_trafo, dataconfig.data.stddev, key)
+
+        if sampler is None:
+            sampler = F.get_standard_sampler(
+                args.method, score_fn, sde, ray_trafo, observation,
+                num_steps=int(args.num_steps),
+                im_shape=(*ray_trafo.model_im_shape, 1),
+                penalty=float(args.penalty), gamma=float(args.gamma),
+                eta=float(args.eta), cg_iter=int(args.cg_iter),
+                pct_chain_elapsed=float(args.pct_chain_elapsed),
+                early_stopping_pct=(None if float(args.early_stopping_pct) == 1.0
+                                    else float(args.early_stopping_pct)),
+                ground_truth=ground_truth, filtbackproj=filtbackproj,
+                score_apply=lambda p, x, t: model.apply({"params": p}, x, t),
+                score_params=params)
+        else:
+            # same shapes -> reuse the compiled program, just swap the data
+            sampler.observation = observation
+            sampler.rhs = ray_trafo.adjoint(observation)
+            sampler.filtbackproj = filtbackproj
+
+        recon, _ = sampler.sample(jax.random.fold_in(key, 1))
+        recon = jnp.clip(recon, 0)
+        r = np.asarray(recon[0, ..., 0])
+        g = np.asarray(ground_truth[0, ..., 0])
+        save_recon_info(save_root / f"recon_{i}_info.npz", r, g)
+        save_image_png(save_root / f"recon_{i}.png", r)
+        psnr, ssim = PSNR(r, g), SSIM(r, g)
+        print(f"reconstruction of sample {i}\nPSNR: {psnr}\nSSIM: {ssim}")
+        _psnr.append(psnr)
+        _ssim.append(ssim)
+
+    report = dict(dataconfig.to_dict())
+    report.update({k: str(v) for k, v in vars(args).items()})
+    report["PSNR"] = float(np.mean(_psnr))
+    report["SSIM"] = float(np.mean(_ssim))
+    write_report(save_root / "report.yaml", report)
+    print(json.dumps({"PSNR": report["PSNR"], "SSIM": report["SSIM"]}))
+
+
+if __name__ == "__main__":
+    coordinator(parser.parse_args())

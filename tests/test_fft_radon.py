@@ -1,0 +1,66 @@
+"""FFT shear-rotation Radon operator: adjointness + cross-check against the
+Joseph ELL matrix operator (the two `impl`s of `make_parallel_beam_trafo`,
+mirroring the reference's odl/torch-radon cross-check, trafo.py:17)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.ndimage import gaussian_filter
+
+from diffusion_models_dev_project_tpu.physics.ray_trafo import make_parallel_beam_trafo
+from diffusion_models_dev_project_tpu.utils.metrics import PSNR
+
+
+def _blob(h, w):
+    img = np.zeros((h, w), np.float32)
+    img[h // 5:h // 2, w // 2:w - w // 5] = 1.0
+    img[int(h * 0.6):int(h * 0.8), int(w * 0.2):int(w * 0.5)] = 0.7
+    return gaussian_filter(img, 2.0)
+
+
+def test_fft_matches_matrix_impl():
+    fft = make_parallel_beam_trafo((64, 64), 12, impl="fft")
+    mat = make_parallel_beam_trafo((64, 64), 12, impl="matrix")
+    assert fft.obs_shape == mat.obs_shape
+    x = jnp.asarray(_blob(64, 64))[None, :, :, None]
+    a, b = np.asarray(fft.apply(x)), np.asarray(mat.apply(x))
+    rel = np.abs(a - b).max() / b.max()
+    assert rel < 0.02, rel
+    # adjoint agreement on a sinogram
+    y = mat.apply(x)
+    aa, bb = np.asarray(fft.adjoint(y)), np.asarray(mat.adjoint(y))
+    rel = np.linalg.norm(aa - bb) / np.linalg.norm(bb)
+    assert rel < 0.03, rel
+
+
+def test_fft_adjointness_exact():
+    fft = make_parallel_beam_trafo((32, 32), 7, impl="fft")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(2, *fft.obs_shape, 1)).astype(np.float32))
+    lhs = float(jnp.vdot(fft.apply(x), y))
+    rhs = float(jnp.vdot(x, fft.adjoint(y)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_fft_fbp_recovers_image():
+    fft = make_parallel_beam_trafo((64, 64), 60, impl="fft")
+    gt = _blob(64, 64)
+    x = jnp.asarray(gt)[None, :, :, None]
+    rec = np.asarray(fft.fbp(fft.apply(x)))[0, :, :, 0]
+    assert PSNR(rec, gt) > 25.0
+
+
+def test_fft_jits_and_grads():
+    fft = make_parallel_beam_trafo((32, 32), 7, impl="fft")
+    x = jnp.ones((1, 32, 32, 1))
+
+    @jax.jit
+    def loss(trafo, x):
+        return jnp.sum(trafo.apply(x) ** 2)
+
+    g = jax.grad(loss, argnums=1)(fft, x)
+    assert np.isfinite(np.asarray(g)).all()
+    # gradient of ||Ax||^2 is 2 AᵀAx
+    want = 2 * fft.adjoint(fft.apply(x))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=1e-3,
+                               atol=1e-4)

@@ -1,0 +1,62 @@
+"""KV logger, reporting, metrics utilities."""
+import json
+import os
+import time
+
+import numpy as np
+
+from diffusion_models_dev_project_tpu.utils import kvlogger
+from diffusion_models_dev_project_tpu.utils.metrics import PSNR, SSIM
+from diffusion_models_dev_project_tpu.utils.reporting import (
+    save_image_png, save_recon_info, write_report)
+
+
+def test_kvlogger_mean_and_dump(tmp_path):
+    log = kvlogger.configure(str(tmp_path), formats=("jsonl", "csv"))
+    log.logkv("a", 1.0)
+    log.logkv_mean("b", 1.0)
+    log.logkv_mean("b", 3.0)
+    out = log.dumpkvs()
+    assert out == {"a": 1.0, "b": 2.0}
+    assert kvlogger.dumpkvs() == {}
+    with open(os.path.join(tmp_path, "progress.jsonl")) as f:
+        rec = json.loads(f.readline())
+    assert rec["a"] == 1.0 and rec["b"] == 2.0
+
+
+def test_kvlogger_profile(tmp_path):
+    log = kvlogger.configure(str(tmp_path))
+
+    @kvlogger.profile
+    def slow():
+        time.sleep(0.01)
+
+    slow()
+    slow()
+    out = log.dumpkvs()
+    assert out["time/slow"] >= 0.02
+
+
+def test_reporting_roundtrip(tmp_path):
+    img = np.random.default_rng(0).random((8, 8)).astype(np.float32)
+    gt = img * 0.5
+    save_image_png(tmp_path / "x.png", img)
+    save_recon_info(tmp_path / "x.npz", img, gt)
+    blob = np.load(tmp_path / "x.npz")
+    np.testing.assert_array_equal(blob["recon"], img)
+    write_report(tmp_path / "r.yaml", {"PSNR": np.float32(3.0),
+                                       "nested": {"x": [np.int64(1)]}})
+    import yaml
+
+    rep = yaml.safe_load(open(tmp_path / "r.yaml"))
+    assert rep["PSNR"] == 3.0 and rep["nested"]["x"] == [1]
+
+
+def test_psnr_ssim_conventions():
+    gt = np.zeros((32, 32), np.float32)
+    gt[8:24, 8:24] = 2.0            # data range 2.0
+    noisy = gt + 0.1
+    # PSNR = 20 log10(range) - 10 log10(mse); mse = 0.01, range = 2
+    want = 20 * np.log10(2.0) - 10 * np.log10(0.01)
+    np.testing.assert_allclose(PSNR(noisy, gt), want, rtol=1e-6)
+    assert SSIM(gt, gt) > 0.9999
