@@ -54,11 +54,12 @@ def main():
 
     key = jax.random.PRNGKey(0)
     x, _ = sampler.sample(key)             # compile + warmup
-    jax.block_until_ready(x)
+    float(jnp.sum(x))                      # value fetch: block_until_ready is
+                                           # unreliable through the TPU relay
 
     t0 = time.perf_counter()
     x, _ = sampler.sample(jax.random.PRNGKey(1))
-    jax.block_until_ready(x)
+    float(jnp.sum(x))
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()
