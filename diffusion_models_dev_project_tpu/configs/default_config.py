@@ -21,9 +21,9 @@ def get_default_configs(sde: str) -> ml_collections.ConfigDict:
         # sigma_max ~ max pairwise distance of the data (Technique 1 of
         # arXiv:2006.09011), as in the reference
         sde_cfg.sigma_min = 0.01
-        sde_cfg.sigma_max = 100
+        sde_cfg.sigma_max = 100.0
         sde_cfg.beta_min = 0.1
-        sde_cfg.beta_max = 10
+        sde_cfg.beta_max = 10.0
     elif sde == "ddpm":
         sde_cfg.beta_min = 0.0001
         sde_cfg.beta_max = 0.02

@@ -122,7 +122,8 @@ def get_standard_ray_trafo(config) -> RayTransform:
             orbit_id=config.forward_op.orbit_id,
             angular_sub_sampling=config.forward_op.angular_sub_sampling,
             proj_col_sub_sampling=config.forward_op.proj_col_sub_sampling,
-            new_shape=tuple(config.data.new_shape))
+            new_shape=tuple(config.data.new_shape),
+            impl=config.forward_op.get("impl", "dense"))
     raise NotImplementedError(name)
 
 

@@ -54,6 +54,9 @@ class UNetConfig:
     use_scale_shift_norm: bool = True
     resblock_updown: bool = True
     dtype: str = "float32"          # compute dtype: "float32" | "bfloat16"
+    # attention implementation: "einsum" | "flash" | "auto" (flash Pallas
+    # kernel on TPU once the token count reaches 1024, i.e. 512^2 images)
+    attention_impl: str = "auto"
     # Test-time LoRA adaptation (reference lora.py:282-357): rank 0 disables.
     # When enabled, low-rank branches are added to every conv/dense inside
     # ResBlock/AttentionBlock modules of the included block groups; their
@@ -411,6 +414,7 @@ class AttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     precision: object = None
     lora_rank: int = 0
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, lora_scale=1.0):
@@ -419,21 +423,36 @@ class AttentionBlock(nn.Module):
         b, hgt, wid, c = x.shape
         heads = s.num_heads
         ch = c // heads
-        h = GroupNorm32(c, name="norm")(x).reshape(b, hgt * wid, c)
+        hw = hgt * wid
+        h = GroupNorm32(c, name="norm")(x).reshape(b, hw, c)
         qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype, precision=self.precision)(h)
         if r:
             qkv = qkv + LoRADense(3 * c, r, name="qkv_lora",
                                   precision=self.precision)(h, lora_scale)   # 1x1 conv == dense
         # legacy order: heads split BEFORE q/k/v (unet.py:330-356):
         # channel layout is [head][q|k|v][ch]
-        qkv = qkv.reshape(b, hgt * wid, heads, 3 * ch)
+        qkv = qkv.reshape(b, hw, heads, 3 * ch)
         q, k, v = qkv[..., :ch], qkv[..., ch:2 * ch], qkv[..., 2 * ch:]
-        scale = 1.0 / math.sqrt(math.sqrt(ch))
-        logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale,
-                            precision=self.precision)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
-        att = jnp.einsum("bhts,bshc->bthc", weights, v,
-                         precision=self.precision).reshape(b, hgt * wid, c)
+        impl = self.attention_impl
+        if impl == "auto":
+            impl = ("flash" if hw >= 1024 and jax.default_backend() == "tpu"
+                    else "einsum")
+        if impl == "flash":
+            # blockwise Pallas kernel: T x T scores never hit HBM (512^2+)
+            from ..ops.attention import flash_attention
+
+            fold = lambda a: a.transpose(0, 2, 1, 3).reshape(b * heads, hw, ch)
+            att = flash_attention(fold(q), fold(k), fold(v))
+            att = att.reshape(b, heads, hw, ch).transpose(0, 2, 1, 3)
+            att = att.reshape(b, hw, c)
+        else:
+            scale = 1.0 / math.sqrt(math.sqrt(ch))
+            logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale,
+                                precision=self.precision)
+            weights = jax.nn.softmax(logits.astype(jnp.float32),
+                                     axis=-1).astype(logits.dtype)
+            att = jnp.einsum("bhts,bshc->bthc", weights, v,
+                             precision=self.precision).reshape(b, hw, c)
         out = nn.Dense(c, name="proj", kernel_init=nn.initializers.zeros_init(),
                        dtype=self.dtype, precision=self.precision)(att)
         if r:
@@ -492,7 +511,9 @@ class UNetModel(nn.Module):
                             name=name)
         if isinstance(spec, AttnSpec):
             return AttentionBlock(spec, dtype=dtype, precision=prec,
-                                  lora_rank=self._lora_rank_for(name), name=name)
+                                  lora_rank=self._lora_rank_for(name),
+                                  attention_impl=self.cfg.attention_impl,
+                                  name=name)
         if isinstance(spec, SampleSpec):
             return Sample(spec, dtype=dtype, precision=prec, name=name)
         if isinstance(spec, ConvSpec):

@@ -33,7 +33,8 @@ from .geometry import (EllTables, ell_from_coo, joseph_system_matrix,
                        parallel_beam_geometry)
 from ..ops.fbp import ramp_filter_sinogram
 
-__all__ = ["RayTransform", "make_parallel_beam_trafo", "make_matmul_trafo"]
+__all__ = ["RayTransform", "DenseRayTransform", "make_parallel_beam_trafo",
+           "make_matmul_trafo", "densify_model_grid"]
 
 
 # ----------------------------------------------------------------- ELL matvec
@@ -150,6 +151,92 @@ class RayTransform:
             return self.custom_fbp(self, y)
         filt = ramp_filter_sinogram(y, filter_name=self.fbp_filter)
         return self.adjoint(filt) * self.fbp_scale
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DenseRayTransform:
+    """Matrix operator precomposed with the model-grid upsample and stored
+    DENSE: `A' = A · R_up` (obs × model pixels).
+
+    TPU fast path for matrix-defined operators (walnut): the reference's
+    sparse `torch.sparse.mm` + nearest-resize composition
+    (matmul_ray_trafo.py:107-126) becomes one MXU matmul per apply — on TPU
+    random-access gathers are ~40x slower than streaming a dense matrix.
+    Unlike the ELL pair (which mirrors the reference's mismatched
+    resize-then-transpose "adjoint"), `adjoint` here is the EXACT transpose
+    of `apply`.
+    """
+
+    matrix: jnp.ndarray                      # (n_obs, n_model_pixels)
+    im_shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    obs_shape: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    fbp_scale: float = 1.0
+    fbp_filter: str = "ramp"
+    custom_fbp: Optional[callable] = None
+    resize_shape: Optional[Tuple[int, int]] = None   # == model grid (kept for API)
+
+    def tree_flatten(self):
+        return (self.matrix,), (self.im_shape, self.obs_shape, self.fbp_scale,
+                                self.fbp_filter, self.custom_fbp,
+                                self.resize_shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        im_shape, obs_shape, fbp_scale, fbp_filter, custom_fbp, resize = aux
+        return cls(leaves[0], im_shape=im_shape, obs_shape=obs_shape,
+                   fbp_scale=fbp_scale, fbp_filter=fbp_filter,
+                   custom_fbp=custom_fbp, resize_shape=resize)
+
+    @property
+    def model_im_shape(self) -> Tuple[int, int]:
+        return self.resize_shape if self.resize_shape is not None else self.im_shape
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        flat = x.transpose(0, 3, 1, 2).reshape(b * c, -1)
+        obs = jnp.matmul(flat, self.matrix.T.astype(flat.dtype),
+                         preferred_element_type=jnp.float32)
+        return obs.reshape(b, c, *self.obs_shape).transpose(0, 2, 3, 1)
+
+    def adjoint(self, y: jnp.ndarray) -> jnp.ndarray:
+        b, c = y.shape[0], y.shape[-1]
+        flat = y.transpose(0, 3, 1, 2).reshape(b * c, -1)
+        x = jnp.matmul(flat, self.matrix.astype(flat.dtype),
+                       preferred_element_type=jnp.float32)
+        h, w = self.model_im_shape
+        return x.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+    def __call__(self, x):
+        return self.apply(x)
+
+    def fbp(self, y: jnp.ndarray) -> jnp.ndarray:
+        if self.custom_fbp is not None:
+            return self.custom_fbp(self, y)
+        filt = ramp_filter_sinogram(y, filter_name=self.fbp_filter)
+        return self.adjoint(filt) * self.fbp_scale
+
+
+def densify_model_grid(matrix, im_shape: Tuple[int, int],
+                       model_shape: Tuple[int, int]) -> np.ndarray:
+    """A' = A · R_up with R_up the nearest-neighbour model->native upsample
+    (exactly the composition the reference applies per call,
+    matmul_ray_trafo.py:108-110): sum the native-grid columns that map to
+    the same model pixel."""
+    import scipy.sparse as sp
+
+    H, W = im_shape
+    h, w = model_shape
+    # nearest-neighbour index each native pixel takes from the model grid
+    # (matches jax.image.resize(method="nearest"): floor((i+0.5)*h/H))
+    rows_n = np.minimum((np.floor((np.arange(H) + 0.5) * h / H)).astype(np.int64), h - 1)
+    cols_n = np.minimum((np.floor((np.arange(W) + 0.5) * w / W)).astype(np.int64), w - 1)
+    native_to_model = (rows_n[:, None] * w + cols_n[None, :]).ravel()
+    R = sp.coo_matrix((np.ones(H * W, np.float32),
+                       (np.arange(H * W), native_to_model)),
+                      shape=(H * W, h * w)).tocsr()
+    A = matrix.tocsr() if sp.issparse(matrix) else sp.csr_matrix(matrix)
+    return np.asarray((A @ R).todense(), np.float32)
 
 
 # ------------------------------------------------------------- constructors

@@ -303,10 +303,16 @@ def get_walnut_2d_ray_trafo(
         vecs_all: Optional[np.ndarray] = None,
         assemble_if_missing: bool = True,
         single_slice_config: Optional[dict] = None,
-        spec: WalnutDatasetSpec = DEFAULT_SPEC) -> RayTransform:
+        spec: WalnutDatasetSpec = DEFAULT_SPEC,
+        impl: str = "ell"):
     """Reference `get_walnut_2d_ray_trafo` (walnut_2d_ray_trafo.py:26-85):
     sparse-matrix 2D operator over the 501² native grid with flat masked
-    observations, FDK fbp, and optional resize to the model grid."""
+    observations, FDK fbp, and optional resize to the model grid.
+
+    impl='ell' mirrors the reference operator pair exactly (incl. its
+    resize-then-transpose "adjoint"); impl='dense' precomposes the
+    model-grid upsample into a dense matrix for MXU matmuls (same forward
+    math, EXACT adjoint, ~40x faster applies on TPU)."""
     matrix_path = data_path if matrix_path is None else matrix_path
     if vecs_all is None:
         vecs_all = load_geom_vecs(data_path, walnut_id, orbit_id)
@@ -338,9 +344,20 @@ def get_walnut_2d_ray_trafo(
         filt = filter_flat(flat).reshape(y.shape)
         return rt.adjoint(filt) * rt.fbp_scale
 
-    rt = make_matmul_trafo(matrix, im_shape, obs_shape,
-                           resize_shape=new_shape, calibrate_fbp=False,
-                           custom_fbp=custom_fbp)
+    if impl == "dense" and new_shape is not None:
+        import jax.numpy as jnp
+
+        from .ray_trafo import DenseRayTransform, densify_model_grid
+
+        dense = densify_model_grid(matrix, im_shape, new_shape)
+        rt = DenseRayTransform(matrix=jnp.asarray(dense), im_shape=im_shape,
+                               obs_shape=obs_shape, resize_shape=new_shape,
+                               custom_fbp=custom_fbp)
+    else:
+        assert impl in ("ell", "dense"), impl
+        rt = make_matmul_trafo(matrix, im_shape, obs_shape,
+                               resize_shape=new_shape, calibrate_fbp=False,
+                               custom_fbp=custom_fbp)
     rt.fbp_scale = _calibrate_walnut_fbp(rt)
     rt.inds_in_flat_projs_per_angle = trafo3.inds_in_flat_projs_per_angle()
     return rt

@@ -142,14 +142,39 @@ class DiffusionSampler:
             aTweedy=(spec.method == "dps"))
 
     # ------------------------------------------------------------- sample
-    def sample(self, key: jax.Array, return_trace: bool = False):
-        """Run the full reverse diffusion; returns (x_mean, trace|None)."""
+    def sample(self, key: jax.Array, return_trace: bool = False, mesh=None):
+        """Run the full reverse diffusion; returns (x_mean, trace|None).
+
+        With `mesh`, the batch axis is sharded over the mesh's 'data' axis —
+        the multi-chip evaluation mode (SURVEY.md §2.10: conditional sampling
+        is embarrassingly parallel across images; stack per-image
+        observations along the batch axis).  batch_size must divide by the
+        mesh size; parameters and the physics operator stay replicated and
+        XLA/GSPMD keeps every step collective-free.
+        """
         spec = self.spec
         ts, tps, dfs, step_size = _time_arrays(self.sde, spec)
         self._step_size = step_size
         b = spec.batch_size
         shape = (b, *spec.im_shape)
         gt = self.ground_truth
+
+        batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            assert b % mesh.shape["data"] == 0, (b, dict(mesh.shape))
+            batch_sharding = NamedSharding(
+                mesh, PartitionSpec("data", None, None, None))
+
+            def shard_b(v):
+                return (jax.device_put(v, batch_sharding)
+                        if (v is not None and getattr(v, "ndim", 0) == 4
+                            and v.shape[0] == b) else v)
+
+            self.observation = shard_b(self.observation)
+            self.rhs = shard_b(self.rhs)
+            self.filtbackproj = shard_b(self.filtbackproj)
 
         def run(key, params, trafo, rhs, observation, filtbackproj):
             if self.score_apply is not None:
@@ -165,6 +190,8 @@ class DiffusionSampler:
                 x = filtbackproj + jax.random.normal(init_key, shape) * std
             else:
                 x = self.sde.prior_sampling(init_key, shape)
+            if batch_sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, batch_sharding)
 
             def body(carry, step_data):
                 x, _, key = carry

@@ -36,6 +36,11 @@ parser.add_argument("--early_stopping_pct", default=1.0,
 parser.add_argument("--num_images", default=None,
                     help="override dataconfig.data.validation.num_images")
 parser.add_argument("--version", default=1)
+parser.add_argument("--im_size", default=None,
+                    help="override image size (extension; reference configs "
+                    "are fixed at 256)")
+parser.add_argument("--num_channels", default=None,
+                    help="override model channels (extension)")
 
 
 def coordinator(args):
@@ -48,6 +53,12 @@ def coordinator(args):
         save_image_png, save_recon_info, write_report)
 
     config, dataconfig = F.get_standard_configs(args)
+    if args.im_size is not None:
+        for c in (config, dataconfig):
+            c.model.image_size = int(args.im_size)
+            c.data.im_size = int(args.im_size)
+    if args.num_channels is not None:
+        config.model.num_channels = int(args.num_channels)
     try:
         save_root = F.get_standard_path(args, run_type=args.method,
                                         data_part=dataconfig.data.part)

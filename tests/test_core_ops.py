@@ -140,3 +140,50 @@ def test_ddpm_time_pairs_early_stop():
 def test_eps_pred_from_s():
     s = jnp.ones((2, 2))
     np.testing.assert_allclose(np.asarray(eps_pred_from_s(s, 2.0)), -2 * np.ones((2, 2)))
+
+
+def test_train_step_decreases_loss_both_families():
+    """Jitted train step learns on a toy problem for score (VESDE) and
+    epsilon (DDPM) objectives (reference losses.py:3-41)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from diffusion_models_dev_project_tpu.ops.sde import DDPM, VESDE
+    from diffusion_models_dev_project_tpu.training.ema import ema_init
+    from diffusion_models_dev_project_tpu.training.trainer import (
+        TrainState, make_train_step)
+
+    def tiny_apply(params, x, t):
+        # linear "network": enough to reduce the loss from an init of zeros
+        return x * params["w"].reshape(1, 1, 1, 1) + params["b"].reshape(1, 1, 1, 1)
+
+    from diffusion_models_dev_project_tpu.training.losses import (
+        epsilon_matching_loss, score_matching_loss)
+
+    batch = jnp.ones((16, 8, 8, 1)) * 0.5
+    probe_key = jax.random.PRNGKey(42)
+    for sde in (VESDE(sigma_min=0.01, sigma_max=5.0), DDPM(num_steps=100)):
+        loss_impl = (score_matching_loss if sde.prediction_type == "score"
+                     else epsilon_matching_loss)
+
+        def probe(params):
+            model = lambda x, t: tiny_apply(params, x, t)
+            return float(loss_impl(probe_key, batch, model, sde))
+
+        params = {"w": jnp.zeros((1,)), "b": jnp.zeros((1,))}
+        opt = optax.adam(3e-2)
+        step = make_train_step(tiny_apply, sde, opt, ema_decay=0.999,
+                               ema_warm_start_steps=2)
+        state = TrainState(params, opt.init(params), ema_init(params),
+                           jnp.zeros((), jnp.int32))
+        before = probe(state.params)
+        key = jax.random.PRNGKey(0)
+        for i in range(60):
+            key, sub = jax.random.split(key)
+            state, loss = step(state, batch, sub)
+        after = probe(state.params)
+        assert after < before, (sde, before, after)
+        # EMA warm start tracked then diverged from params
+        assert np.isfinite(
+            np.asarray(jax.tree_util.tree_leaves(state.ema.shadow)[0])).all()

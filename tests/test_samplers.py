@@ -1,0 +1,115 @@
+"""End-to-end sampler coverage across methods × SDE families.
+
+The math-level tests live in test_core_ops/test_sde; here each engine path
+(naive / DPS / DDS / uncond × VE / VP / DDPM, incl. DDPM time travel and
+chain init) runs compiled on a tiny analytic problem.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffusion_models_dev_project_tpu.models.unet import UNetModel, UNetConfig
+from diffusion_models_dev_project_tpu.ops.sde import DDPM, VESDE, VPSDE
+from diffusion_models_dev_project_tpu.physics.ray_trafo import make_parallel_beam_trafo
+from diffusion_models_dev_project_tpu.physics.simulation import simulate
+from diffusion_models_dev_project_tpu.sampling.engine import get_standard_sampler
+
+IM = 16
+
+
+def _score_fn():
+    cfg = UNetConfig(image_size=IM, in_channels=1, out_channels=1,
+                     model_channels=32, num_res_blocks=1,
+                     attention_resolutions=(2,), channel_mult=(1, 2),
+                     num_heads=4, num_head_channels=8,
+                     use_scale_shift_norm=True, resblock_updown=True)
+    model = UNetModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, IM, IM, 1)),
+                        jnp.zeros((1,)))
+    rng = np.random.default_rng(5)
+    params = jax.tree_util.tree_map(
+        lambda v: (jnp.asarray(rng.normal(0, 0.02, v.shape).astype(np.float32))
+                   if not np.asarray(v).any() else v), params)
+    return lambda x, t: model.apply(params, x, t)
+
+
+SCORE = _score_fn()
+TRAFO = make_parallel_beam_trafo((IM, IM), 8, impl="matrix")
+GT = np.zeros((1, IM, IM, 1), np.float32)
+GT[0, 4:12, 5:11, 0] = 1.0
+OBS = simulate(jax.random.PRNGKey(2), jnp.asarray(GT), TRAFO, 0.01)
+
+
+def _run(method, sde, **kw):
+    sampler = get_standard_sampler(
+        method, SCORE, sde, TRAFO, OBS, num_steps=kw.pop("num_steps", 5),
+        im_shape=(IM, IM, 1), ground_truth=jnp.asarray(GT), **kw)
+    x, trace = sampler.sample(jax.random.PRNGKey(0), return_trace=True)
+    assert x.shape == (1, IM, IM, 1)
+    assert np.isfinite(np.asarray(x)).all()
+    assert np.isfinite(np.asarray(trace)).all()
+    return np.asarray(x)
+
+
+@pytest.mark.parametrize("method", ["naive", "dps", "dds"])
+def test_vesde_methods(method):
+    _run(method, VESDE(sigma_min=0.01, sigma_max=5.0))
+
+
+@pytest.mark.parametrize("method", ["naive", "dps", "dds"])
+def test_vpsde_methods(method):
+    _run(method, VPSDE(beta_min=0.1, beta_max=10.0))
+
+
+@pytest.mark.parametrize("method", ["dps", "dds"])
+def test_ddpm_methods(method):
+    _run(method, DDPM(num_steps=50), num_steps=10)
+
+
+def test_ddpm_time_travel_schedule():
+    x = _run("dds", DDPM(num_steps=50), num_steps=10, travel_length=2,
+             travel_repeat=2)
+    assert np.isfinite(x).all()
+
+
+def test_ddpm_early_stopping():
+    sde = DDPM(num_steps=50)
+    s_full = get_standard_sampler("dds", SCORE, sde, TRAFO, OBS, num_steps=10,
+                                  im_shape=(IM, IM, 1))
+    s_half = get_standard_sampler("dds", SCORE, sde, TRAFO, OBS, num_steps=10,
+                                  im_shape=(IM, IM, 1), early_stopping_pct=0.5)
+    from diffusion_models_dev_project_tpu.sampling.engine import _time_arrays
+
+    ts_full = _time_arrays(sde, s_full.spec)[0]
+    ts_half = _time_arrays(sde, s_half.spec)[0]
+    assert len(ts_half) == len(ts_full) // 2
+    np.testing.assert_array_equal(ts_half, ts_full[: len(ts_half)])
+
+
+def test_uncond_sampling_both_families():
+    for sde in (VESDE(sigma_min=0.01, sigma_max=5.0), DDPM(num_steps=50)):
+        sampler = get_standard_sampler("uncond", SCORE, sde, None, None,
+                                       num_steps=5, im_shape=(IM, IM, 1))
+        x, _ = sampler.sample(jax.random.PRNGKey(0))
+        assert np.isfinite(np.asarray(x)).all()
+
+
+def test_chain_init_from_fbp():
+    """pct_chain_elapsed > 0 starts from noised FBP (reference
+    chain_simple_init, samplers/utils.py:381-394)."""
+    sde = VESDE(sigma_min=0.01, sigma_max=5.0)
+    fbp = TRAFO.fbp(OBS)
+    sampler = get_standard_sampler(
+        "dds", SCORE, sde, TRAFO, OBS, num_steps=10, im_shape=(IM, IM, 1),
+        pct_chain_elapsed=0.5, filtbackproj=fbp)
+    assert sampler.spec.start_time_step == 5
+    x, _ = sampler.sample(jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(x)).all()
+
+
+def test_naive_dps_differ():
+    sde = VESDE(sigma_min=0.01, sigma_max=5.0)
+    a = _run("naive", sde)
+    b = _run("dps", sde)
+    assert np.abs(a - b).max() > 1e-6

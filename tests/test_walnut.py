@@ -185,3 +185,31 @@ def test_walnut_2d_pipeline_end_to_end(tmp_path):
     meas = obs[0, 0, :, 0]
     corr = np.corrcoef(pred, meas)[0, 1]
     assert corr > 0.95, corr
+
+
+def test_dense_impl_matches_ell_forward(tmp_path):
+    """impl='dense' (A·R_up precomposed, MXU path) must equal the ELL path's
+    forward exactly, and its adjoint must be the exact transpose."""
+    root = str(tmp_path)
+    _write_mini_dataset(root)
+    kw = dict(walnut_id=1, orbit_id=2, angular_sub_sampling=2,
+              proj_col_sub_sampling=2, new_shape=(16, 16),
+              single_slice_config=MINI_SLICE_CFG, spec=MINI_SPEC)
+    ell = get_walnut_2d_ray_trafo(root, **kw, impl="ell")
+    dense = get_walnut_2d_ray_trafo(root, **kw, impl="dense")
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 1)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(dense.apply(x)),
+                               np.asarray(ell.apply(x)), rtol=1e-4, atol=1e-5)
+    y = jnp.asarray(rng.normal(size=(2, *dense.obs_shape, 1)).astype(np.float32))
+    lhs = float(jnp.vdot(dense.apply(x), y))
+    rhs = float(jnp.vdot(x, dense.adjoint(y)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+    # FDK quality comparable between impls
+    disk = np.zeros((1, 16, 16, 1), np.float32)
+    yy, xx = np.meshgrid(np.arange(16) - 7.5, np.arange(16) - 7.5, indexing="ij")
+    disk[0, ..., 0] = (yy ** 2 + xx ** 2 < 4 ** 2).astype(np.float32)
+    rec = np.asarray(dense.fbp(dense.apply(jnp.asarray(disk))))[0, ..., 0]
+    corr = np.corrcoef(rec.ravel(), disk[0, ..., 0].ravel())[0, 1]
+    assert corr > 0.7, corr
