@@ -60,3 +60,28 @@ def test_psnr_ssim_conventions():
     want = 20 * np.log10(2.0) - 10 * np.log10(0.01)
     np.testing.assert_allclose(PSNR(noisy, gt), want, rtol=1e-6)
     assert SSIM(gt, gt) > 0.9999
+
+
+def test_checkpoint_roundtrip_device_agnostic(tmp_path):
+    """Orbax save -> template-free restore returns host numpy matching the
+    saved TrainState (restores across device types, factory.py:_load_params)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from diffusion_models_dev_project_tpu.training.ema import ema_init
+    from diffusion_models_dev_project_tpu.training.trainer import TrainState
+    from diffusion_models_dev_project_tpu.utils.checkpoint import Checkpointer
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((3,))}
+    opt = optax.adam(1e-3)
+    state = TrainState(params, opt.init(params), ema_init(params),
+                       jnp.asarray(7, jnp.int32))
+    ck = Checkpointer(str(tmp_path))
+    assert ck.restore() is None                 # empty dir
+    ck.save(state, step=7)
+    out = ck.restore()
+    assert int(np.asarray(out["step"])) == 7
+    np.testing.assert_array_equal(out["params"]["w"], np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(out["ema"]["shadow"]["b"], np.ones((3,)))
+    assert ck.latest_step() == 7
