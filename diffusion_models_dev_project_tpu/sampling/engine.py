@@ -51,6 +51,10 @@ class SamplerSpec:
     eta: float = 0.15
     cg_iter: int = 5
     use_simplified_eqn: bool = True
+    # Langevin corrector steps after each predictor step (the reference
+    # parses --add_corrector_step but never wires it; here it works)
+    corrector_steps: int = 0
+    corrector_snr: float = 0.16
     # DDPM jump schedule (base_sampler.py:48-61)
     travel_length: int = 1
     travel_repeat: int = 1
@@ -201,6 +205,15 @@ class DiffusionSampler:
                 tpvec = jnp.full((b,), t_prev)
                 x_next, x_mean = self._step(score_fn, x, sub, tvec, tpvec, dfs,
                                             trafo, rhs, observation)
+                if spec.corrector_steps > 0 and self.sde.prediction_type == "score":
+                    key, csub = jax.random.split(key)
+                    nll = (P.make_nloglik(trafo, observation)
+                           if spec.method in ("naive", "dps") else None)
+                    x_next = P.langevin_corrector(
+                        score_fn, self.sde, x_next, csub, tvec, nloglik=nll,
+                        datafitscale=dfs, penalty=spec.penalty,
+                        corrector_steps=spec.corrector_steps,
+                        snr=spec.corrector_snr)
                 if gt is not None:
                     mse = jnp.mean((x_mean[0, ..., 0] - gt[0, ..., 0]) ** 2)
                     rng_ = jnp.max(gt) - jnp.min(gt)
@@ -230,7 +243,9 @@ def get_standard_sampler(method: str, score_fn, sde, ray_trafo, observation,
                          pct_chain_elapsed: float = 0.0, travel_length: int = 1,
                          travel_repeat: int = 1, early_stopping_pct=None,
                          ground_truth=None, filtbackproj=None,
-                         score_apply=None, score_params=None) -> DiffusionSampler:
+                         score_apply=None, score_params=None,
+                         add_corrector_step: bool = False,
+                         corrector_snr: float = 0.16) -> DiffusionSampler:
     """Factory mirroring reference `get_standard_sampler`
     (exp_utils.py:123-223) with the same defaults and flags."""
     import math
@@ -244,7 +259,9 @@ def get_standard_sampler(method: str, score_fn, sde, ray_trafo, observation,
         gamma=float(gamma), eta=float(eta), cg_iter=int(cg_iter),
         start_time_step=math.ceil(float(pct_chain_elapsed) * int(num_steps)),
         travel_length=travel_length, travel_repeat=travel_repeat,
-        early_stopping_pct=early_stopping_pct, use_simplified_eqn=True)
+        early_stopping_pct=early_stopping_pct, use_simplified_eqn=True,
+        corrector_steps=1 if add_corrector_step else 0,
+        corrector_snr=corrector_snr)
     return DiffusionSampler(score_fn, sde, spec, ray_trafo, observation,
                             ground_truth=ground_truth, filtbackproj=filtbackproj,
                             score_apply=score_apply, score_params=score_params)

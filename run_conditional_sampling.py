@@ -19,6 +19,9 @@ parser.add_argument("--model_learned_on", default="ellipses",
                     choices=["ellipses", "aapm"])
 parser.add_argument("--method", default="dds", choices=["naive", "dps", "dds"])
 parser.add_argument("--ema", action="store_true")
+parser.add_argument("--add_corrector_step", action="store_true",
+                    help="Langevin corrector after each predictor step "
+                    "(parsed-but-dead in the reference; functional here)")
 parser.add_argument("--num_steps", default=1000)
 parser.add_argument("--penalty", default=1, help="reg. penalty for naive/dps")
 parser.add_argument("--gamma", default=0.01, help="reg. used for dds")
@@ -107,6 +110,7 @@ def coordinator(args):
                 early_stopping_pct=(None if float(args.early_stopping_pct) == 1.0
                                     else float(args.early_stopping_pct)),
                 ground_truth=ground_truth, filtbackproj=filtbackproj,
+                add_corrector_step=bool(args.add_corrector_step),
                 score_apply=lambda p, x, t: model.apply({"params": p}, x, t),
                 score_params=params)
         else:

@@ -113,3 +113,33 @@ def test_naive_dps_differ():
     a = _run("naive", sde)
     b = _run("dps", sde)
     assert np.abs(a - b).max() > 1e-6
+
+
+def test_add_corrector_step_runs_and_differs():
+    """Langevin corrector (functional here; parsed-but-dead in the
+    reference, samplers/utils.py:128-157)."""
+    sde = VESDE(sigma_min=0.01, sigma_max=5.0)
+
+    def run(corr):
+        s = get_standard_sampler("naive", SCORE, sde, TRAFO, OBS, num_steps=4,
+                                 im_shape=(IM, IM, 1), add_corrector_step=corr)
+        x, _ = s.sample(jax.random.PRNGKey(0))
+        return np.asarray(x)
+
+    a, b = run(False), run(True)
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).max() > 1e-6
+
+
+def test_simulated_dataset_deterministic():
+    from diffusion_models_dev_project_tpu.physics.simulation import SimulatedDataset
+
+    images = [GT[0], GT[0] * 0.5]
+    ds = SimulatedDataset(images, TRAFO, white_noise_rel_stddev=0.05, seed=3)
+    assert len(ds) == 2
+    y0a, x0a, f0a = ds[0]
+    y0b, x0b, f0b = ds[0]
+    np.testing.assert_array_equal(np.asarray(y0a), np.asarray(y0b))
+    y1, _, _ = ds[1]
+    assert np.abs(np.asarray(y0a) * 0.5 - np.asarray(y1)).max() > 1e-8
+    assert f0a.shape == (1, IM, IM, 1)
