@@ -44,6 +44,9 @@ parser.add_argument("--im_size", default=None,
                     "are fixed at 256)")
 parser.add_argument("--num_channels", default=None,
                     help="override model channels (extension)")
+parser.add_argument("--sigma_max", default=None,
+                    help="override sde.sigma_max — must match the value the "
+                    "checkpoint was trained with (extension)")
 
 
 def coordinator(args):
@@ -62,6 +65,8 @@ def coordinator(args):
             c.data.im_size = int(args.im_size)
     if args.num_channels is not None:
         config.model.num_channels = int(args.num_channels)
+    if args.sigma_max is not None:
+        config.sde.sigma_max = float(args.sigma_max)
     try:
         save_root = F.get_standard_path(args, run_type=args.method,
                                         data_part=dataconfig.data.part)
