@@ -18,6 +18,10 @@ parser.add_argument("--steps_per_epoch", default=None,
                     help="override steps per epoch (default: dataset length / batch)")
 parser.add_argument("--batch_size", default=None)
 parser.add_argument("--im_size", default=None, help="override image size")
+parser.add_argument("--lr", default=None, help="override learning rate")
+parser.add_argument("--num_channels", default=None, help="override model width")
+parser.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
+                    help="compute dtype (params stay fp32)")
 
 
 def coordinator(args):
@@ -39,6 +43,12 @@ def coordinator(args):
         config.training.epochs = int(args.epochs)
     if args.batch_size is not None:
         config.training.batch_size = int(args.batch_size)
+    if args.lr is not None:
+        config.training.lr = float(args.lr)
+    if args.num_channels is not None:
+        config.model.num_channels = int(args.num_channels)
+    if args.dtype is not None:
+        config.model.dtype = args.dtype
 
     sde = F.get_standard_sde(config)
     model, params, _ = F.get_standard_score(config, sde, load_model=False)
