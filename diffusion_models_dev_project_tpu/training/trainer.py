@@ -72,6 +72,23 @@ def make_train_step(model_apply: Callable, sde: SDE, optimizer,
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def _restructure(template, data):
+    """Re-impose the TrainState pytree structure (namedtuples incl. Adam/EMA
+    states) onto the nested dicts/lists of a template-free orbax restore."""
+    if isinstance(template, tuple) and hasattr(template, "_fields"):
+        vals = [data[f] if isinstance(data, dict) else data[i]
+                for i, f in enumerate(template._fields)]
+        return type(template)(*[_restructure(getattr(template, f), v)
+                                for f, v in zip(template._fields, vals)])
+    if isinstance(template, (tuple, list)):
+        seq = [data[str(i)] for i in range(len(template))]             if isinstance(data, dict) else list(data)
+        return type(template)(
+            _restructure(t, v) for t, v in zip(template, seq))
+    if isinstance(template, dict):
+        return {k: _restructure(v, data[k]) for k, v in template.items()}
+    return jnp.asarray(data)
+
+
 @dataclasses.dataclass
 class TrainLog:
     """Minimal metrics sink: stdout + JSONL file (reference used
@@ -118,8 +135,21 @@ def train_score_model(
     produce validation samples (reference trainer.py:67-104).
     """
     optimizer = optax.adam(lr)
+    # copy the caller's params: the jitted step donates the state buffers,
+    # which would otherwise invalidate the caller's arrays
+    init_params = jax.tree_util.tree_map(lambda v: jnp.array(v, copy=True),
+                                         init_params)
     state = TrainState(params=init_params, opt_state=optimizer.init(init_params),
                        ema=ema_init(init_params), step=jnp.zeros((), jnp.int32))
+    start_epoch = 0
+    if checkpointer is not None and checkpointer.latest_step() is not None:
+        # exact resume from the latest checkpoint: params, EMA, Adam moments
+        # and step all restored (the reference cannot resume: it saves
+        # weights only, trainer.py:57-63)
+        restored = checkpointer.restore()
+        state = _restructure(state, restored)
+        start_epoch = int(state.step) // max(steps_per_epoch, 1)
+        print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
     step_fn = make_train_step(model_apply, sde, optimizer, ema_decay,
                               ema_warm_start_steps)
     log = TrainLog(log_dir)
@@ -131,7 +161,7 @@ def train_score_model(
         state = replicate(mesh, state)
 
     data_it = iter(train_iter)
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         epoch_loss, n_items = 0.0, 0
         for i in range(steps_per_epoch):
             batch = next(data_it)

@@ -85,3 +85,40 @@ def test_checkpoint_roundtrip_device_agnostic(tmp_path):
     np.testing.assert_array_equal(out["params"]["w"], np.arange(6.0).reshape(2, 3))
     np.testing.assert_array_equal(out["ema"]["shadow"]["b"], np.ones((3,)))
     assert ck.latest_step() == 7
+
+
+def test_trainer_resumes_from_checkpoint(tmp_path):
+    """Interrupted training resumes exactly: params/EMA/opt/step restored
+    (SURVEY.md §5.4 — beyond the reference's weights-only snapshots)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_models_dev_project_tpu.ops.sde import VESDE
+    from diffusion_models_dev_project_tpu.training.trainer import train_score_model
+    from diffusion_models_dev_project_tpu.utils.checkpoint import Checkpointer
+
+    def apply_fn(p, x, t):
+        return x * p["w"].reshape(1, 1, 1, 1)
+
+    def batches():
+        while True:
+            yield jnp.ones((2, 8, 8, 1)) * 0.5
+
+    sde = VESDE(sigma_min=0.01, sigma_max=5.0)
+    init = {"w": jnp.zeros((1,))}
+    kw = dict(epochs=2, steps_per_epoch=3, lr=1e-2, log_dir=str(tmp_path / "l"),
+              seed=1, save_model_every_n_epoch=1)
+    ck1 = Checkpointer(str(tmp_path / "ck"))
+    s1 = train_score_model(apply_fn, init, sde, batches(), checkpointer=ck1, **kw)
+    assert int(s1.step) == 6
+    # "crash" and resume with a fresh call: should skip completed epochs
+    ck2 = Checkpointer(str(tmp_path / "ck"))
+    s2 = train_score_model(apply_fn, init, sde, batches(), checkpointer=ck2, **kw)
+    assert int(s2.step) == 6                     # nothing re-run
+    np.testing.assert_allclose(np.asarray(s2.params["w"]),
+                               np.asarray(s1.params["w"]), rtol=1e-6)
+    # extending epochs continues from the checkpoint
+    s3 = train_score_model(apply_fn, init, sde, batches(),
+                           checkpointer=Checkpointer(str(tmp_path / "ck")),
+                           **{**kw, "epochs": 3})
+    assert int(s3.step) == 9
