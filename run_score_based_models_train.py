@@ -71,7 +71,9 @@ def coordinator(args):
     steps_per_epoch = (int(args.steps_per_epoch) if args.steps_per_epoch
                        else max(1, config.data.length // config.training.batch_size))
 
-    mesh = make_mesh() if jax.device_count() > 1 else None
+    n_dev = jax.device_count()
+    mesh = (make_mesh() if n_dev > 1
+            and config.training.batch_size % n_dev == 0 else None)
 
     def apply_fn(p, x, t):
         return model.apply({"params": p}, x, t)

@@ -114,3 +114,41 @@ class TestTorchParity:
         direct = convert_torch_state_dict(m.state_dict(), TINY)
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(a, b), params, direct)
+
+
+def test_create_model_config_matches_reference_derivations():
+    """channel_mult-from-image-size table and attention_ds arithmetic
+    (reference create_model, exp_utils.py:40-96)."""
+    import ml_collections
+
+    from diffusion_models_dev_project_tpu.models.unet import create_model_config
+
+    def mk(image_size, channel_mult="", attn="16"):
+        m = ml_collections.ConfigDict()
+        m.image_size = image_size
+        m.in_channels = 1
+        m.out_channels = 1
+        m.num_channels = 128
+        m.num_res_blocks = 2
+        m.attention_resolutions = attn
+        m.channel_mult = channel_mult
+        m.num_heads = 4
+        m.num_head_channels = 64
+        m.num_heads_upsample = -1
+        m.use_scale_shift_norm = True
+        m.resblock_updown = True
+        return m
+
+    assert create_model_config(mk(256)).channel_mult == (1, 1, 2, 2, 4, 4)
+    assert create_model_config(mk(512)).channel_mult == (0.5, 1, 1, 2, 2, 4, 4)
+    assert create_model_config(mk(128)).channel_mult == (1, 1, 2, 3, 4)
+    assert create_model_config(mk(64)).channel_mult == (1, 2, 3, 4)
+    # attention_resolutions "16,8" -> downsample rates image_size // res
+    cfg = create_model_config(mk(256, attn="16,8"))
+    assert cfg.attention_resolutions == (16, 32)
+    # explicit channel_mult string wins over the table
+    assert create_model_config(mk(256, channel_mult="1,2,4")).channel_mult == (1, 2, 4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        create_model_config(mk(96))

@@ -122,3 +122,22 @@ def test_trainer_resumes_from_checkpoint(tmp_path):
                            checkpointer=Checkpointer(str(tmp_path / "ck")),
                            **{**kw, "epochs": 3})
     assert int(s3.step) == 9
+
+
+def test_get_standard_path_conventions():
+    """Output-path hyperparameter encoding (reference exp_utils.py:440-478)."""
+    import argparse
+
+    from diffusion_models_dev_project_tpu.factory import get_standard_path
+
+    args = argparse.Namespace(
+        model_learned_on="ellipses", dataset="aapm", method="dds",
+        num_steps=100, cg_iter=5, gamma=0.01, penalty=1.0, stddev=0.05,
+        adaptation="lora", dc_type="cg", num_optim_step=10, tv_penalty=1e-6)
+    p = str(get_standard_path(args, run_type="dds", data_part="test"))
+    assert "ellipses_aapm/test/dds/num_steps=100/cg_iter=5/gamma=0.01" in p
+    assert "noise_level=0.05" in p
+    p = str(get_standard_path(args, run_type="adapt"))
+    assert "adapt/adaptation=lora/dc_type=cg/num_steps=100" in p
+    p = str(get_standard_path(args, run_type="naive"))
+    assert "naive/num_steps=100/penalty=1.0" in p
