@@ -117,6 +117,7 @@ def train_score_model(
     epochs: int,
     steps_per_epoch: int,
     lr: float = 1e-4,
+    grad_clip: float = None,
     ema_decay: float = 0.999,
     ema_warm_start_steps: int = 400,
     log_freq: int = 25,
@@ -134,7 +135,9 @@ def train_score_model(
     `utils.checkpoint.Checkpointer` (orbax); `sample_hook(state, epoch)` may
     produce validation samples (reference trainer.py:67-104).
     """
-    optimizer = optax.adam(lr)
+    optimizer = (optax.chain(optax.clip_by_global_norm(grad_clip),
+                             optax.adam(lr))
+                 if grad_clip else optax.adam(lr))
     # copy the caller's params: the jitted step donates the state buffers,
     # which would otherwise invalidate the caller's arrays
     init_params = jax.tree_util.tree_map(lambda v: jnp.array(v, copy=True),

@@ -22,6 +22,9 @@ parser.add_argument("--lr", default=None, help="override learning rate")
 parser.add_argument("--num_channels", default=None, help="override model width")
 parser.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
                     help="compute dtype (params stay fp32)")
+parser.add_argument("--grad_clip", default=None,
+                    help="global-norm gradient clipping (extension; the "
+                    "sigma-weighted DSM loss has heavy-tailed gradients)")
 
 
 def coordinator(args):
@@ -83,6 +86,7 @@ def coordinator(args):
         epochs=config.training.epochs,
         steps_per_epoch=steps_per_epoch,
         lr=float(config.training.lr),
+        grad_clip=float(args.grad_clip) if args.grad_clip else None,
         ema_decay=config.training.ema_decay,
         ema_warm_start_steps=config.training.ema_warm_start_steps,
         log_freq=config.training.log_freq,

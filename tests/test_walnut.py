@@ -213,3 +213,16 @@ def test_dense_impl_matches_ell_forward(tmp_path):
     rec = np.asarray(dense.fbp(dense.apply(jnp.asarray(disk))))[0, ..., 0]
     corr = np.corrcoef(rec.ravel(), disk[0, ..., 0].ravel())[0, 1]
     assert corr > 0.7, corr
+
+
+def test_fp3d_angle_chunk_streaming_matches():
+    """make_fp3d(angle_chunk=...) (lax.map streaming for large detectors)
+    must equal the all-at-once path."""
+    from diffusion_models_dev_project_tpu.physics.cone_beam import make_fp3d
+
+    geom = _mini_geom()
+    rng = np.random.default_rng(4)
+    vol = jnp.asarray(rng.random(geom.vol_shape).astype(np.float32))
+    a = np.asarray(make_fp3d(geom)(vol))
+    b = np.asarray(make_fp3d(geom, angle_chunk=4)(vol))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
