@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 import time
 from pathlib import Path
-from typing import Callable, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ from .configs import aapm_configs, disk_ellipses_configs, walnut_configs
 from .data.aapm import AAPMDataset
 from .data.ellipses import get_disk_dist_ellipses_dataset
 from .models.unet import UNetModel, create_model_config
-from .ops.sde import SDE, get_standard_sde
+from .ops.sde import SDE, get_standard_sde  # noqa: F401 (re-export)
 from .physics.ray_trafo import RayTransform, make_parallel_beam_trafo
 from .physics.simulation import simulate
 from .sampling.engine import get_standard_sampler  # noqa: F401  (re-export)

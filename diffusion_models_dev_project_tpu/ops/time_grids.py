@@ -7,7 +7,7 @@ replacement for the per-step Python iteration of the reference
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

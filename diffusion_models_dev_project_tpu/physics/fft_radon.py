@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .geometry import ParallelBeamGeometry, parallel_beam_geometry
+from .geometry import parallel_beam_geometry
 from ..ops.fbp import ramp_filter_sinogram
 
 __all__ = ["FFTRayTransform", "make_fft_parallel_trafo"]
@@ -71,12 +71,6 @@ def _dft_matrices(P: int):
 
 
 _PREC = jax.lax.Precision.HIGHEST
-
-
-def _unit_phase(angle: jnp.ndarray) -> jnp.ndarray:
-    """exp(1j*angle) via lax.complex — complex `exp` is unimplemented on
-    some TPU backends; cos/sin + complex-construct lowers everywhere."""
-    return jax.lax.complex(jnp.cos(angle), jnp.sin(angle))
 
 
 def _shear_phases(phis_g: jnp.ndarray, P: int):

@@ -22,14 +22,13 @@ way in/out of the operator.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .geometry import (EllTables, ell_from_coo, joseph_system_matrix,
+from .geometry import (ell_from_coo, joseph_system_matrix,
                        parallel_beam_geometry)
 from ..ops.fbp import ramp_filter_sinogram
 

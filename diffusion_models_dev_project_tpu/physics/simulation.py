@@ -7,8 +7,6 @@ the loop), with the same scaling convention — the noise std is
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

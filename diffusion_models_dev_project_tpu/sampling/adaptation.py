@@ -25,7 +25,7 @@ lora.py`):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,7 @@ from flax import traverse_util
 
 from ..ops.cg import cg
 from ..ops.diffusion import ddim, tweedy
-from ..ops.sde import SDE, DDPM
+from ..ops.sde import SDE
 from .engine import SamplerSpec, _time_arrays
 
 __all__ = ["tv_loss", "split_adapt_params", "merge_adapt_params", "init_lora",

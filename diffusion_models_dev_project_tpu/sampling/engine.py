@@ -14,8 +14,7 @@ Tweedie estimate, matching base_sampler.py:124 + samplers/utils.py:218).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ replacing `torch.autograd.grad` (samplers/utils.py:58).
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
