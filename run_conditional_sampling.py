@@ -48,9 +48,16 @@ parser.add_argument("--sigma_max", default=None,
                     help="override sde.sigma_max — must match the value the "
                     "checkpoint was trained with (extension)")
 
+parser.add_argument("--debug_nans", action="store_true",
+                    help="enable jax_debug_nans (fail at the first NaN)")
+
 
 def coordinator(args):
     import jax
+
+    if getattr(args, "debug_nans", False):
+        # NaN debugging (SURVEY.md §5.2): fail fast at the producing op
+        jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp
 
     import diffusion_models_dev_project_tpu.factory as F

@@ -26,9 +26,16 @@ parser.add_argument("--grad_clip", default=None,
                     help="global-norm gradient clipping (extension; the "
                     "sigma-weighted DSM loss has heavy-tailed gradients)")
 
+parser.add_argument("--debug_nans", action="store_true",
+                    help="enable jax_debug_nans (fail at the first NaN)")
+
 
 def coordinator(args):
     import jax
+
+    if getattr(args, "debug_nans", False):
+        # NaN debugging (SURVEY.md §5.2): fail fast at the producing op
+        jax.config.update("jax_debug_nans", True)
     import numpy as np
 
     import diffusion_models_dev_project_tpu.factory as F
