@@ -21,12 +21,13 @@ CKPT = sys.argv[1]
 NUM_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 NUM_IMAGES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 CHANNELS = int(sys.argv[4]) if len(sys.argv) > 4 else 128
+ETA = float(sys.argv[6]) if len(sys.argv) > 6 else 0.15
 
 
 def main():
     config = get_config("vesde")
     config.model.num_channels = CHANNELS
-    config.model.dtype = "bfloat16"
+    config.model.dtype = sys.argv[5] if len(sys.argv) > 5 else "bfloat16"
     config.data.part = "val"                    # the shipped set
     config.ckpt_path = CKPT
 
@@ -48,7 +49,7 @@ def main():
         if sampler is None:
             sampler = F.get_standard_sampler(
                 "dds", None, sde, trafo, obs, num_steps=NUM_STEPS,
-                im_shape=(256, 256, 1), gamma=0.01, eta=0.15, cg_iter=5,
+                im_shape=(256, 256, 1), gamma=0.01, eta=ETA, cg_iter=5,
                 score_apply=lambda p, x, t: model.apply({"params": p}, x, t),
                 score_params=params)
         else:
