@@ -165,7 +165,11 @@ def train_score_model(
 
     data_it = iter(train_iter)
     for epoch in range(start_epoch, epochs):
-        epoch_loss, n_items = 0.0, 0
+        # Device-side loss accumulation: fetching `float(loss)` every step
+        # would force a host sync per step and serialize dispatch against
+        # execution (costly through the TPU relay).  Losses stay on device
+        # and are fetched only at log points and once per epoch.
+        losses = []
         for i in range(steps_per_epoch):
             batch = next(data_it)
             batch = jnp.asarray(batch)
@@ -175,11 +179,11 @@ def train_score_model(
                 batch = shard_batch(mesh, batch)
             key, sub = jax.random.split(key)
             state, loss = step_fn(state, batch, sub)
+            losses.append(loss)
             if i % log_freq == 0:
-                log.scalar("train/loss", float(loss), int(state.step))
-            epoch_loss += float(loss) * batch.shape[0]
-            n_items += batch.shape[0]
-        mean_loss = epoch_loss / max(n_items, 1)
+                log.scalar("train/loss", float(loss),
+                           epoch * steps_per_epoch + i + 1)
+        mean_loss = float(jnp.mean(jnp.stack(losses)))
         log.scalar("train/mean_loss_per_epoch", mean_loss, epoch + 1)
         print(f"epoch {epoch}: mean loss {mean_loss:.5f}")
 

@@ -25,6 +25,18 @@ parser.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
 parser.add_argument("--grad_clip", default=None,
                     help="global-norm gradient clipping (extension; the "
                     "sigma-weighted DSM loss has heavy-tailed gradients)")
+parser.add_argument("--run_dir", default=None,
+                    help="reuse this run directory instead of creating a new "
+                    "version_{N} dir; training resumes exactly from its "
+                    "latest orbax checkpoint if one exists")
+parser.add_argument("--sample_freq", default=None,
+                    help="emit an unconditional EMA sample grid every N "
+                    "epochs to <run_dir>/samples (reference "
+                    "trainer.py:67-104); overrides "
+                    "config.validation.sample_freq")
+parser.add_argument("--val_num_steps", default=None,
+                    help="override config.validation.num_steps for the "
+                    "train-time sample grids")
 
 parser.add_argument("--debug_nans", action="store_true",
                     help="enable jax_debug_nans (fail at the first NaN)")
@@ -59,6 +71,8 @@ def coordinator(args):
         config.model.num_channels = int(args.num_channels)
     if args.dtype is not None:
         config.model.dtype = args.dtype
+    if args.val_num_steps is not None:
+        config.validation.num_steps = int(args.val_num_steps)
 
     sde = F.get_standard_sde(config)
     model, params, _ = F.get_standard_score(config, sde, load_model=False)
@@ -66,14 +80,19 @@ def coordinator(args):
                    for p in jax.tree_util.tree_leaves(params))
     print("Number of parameters:", n_params)
 
-    # versioned run dir (reference run_score_based_models_train.py:59-69)
-    log_dir = os.path.join(args.base_path, "DiskEllipses", config.sde.type)
-    os.makedirs(log_dir, exist_ok=True)
-    version_num = 1
-    while os.path.isdir(os.path.join(log_dir, f"version_{version_num:02d}")):
-        version_num += 1
-    log_dir = os.path.join(log_dir, f"version_{version_num:02d}")
-    os.makedirs(log_dir)
+    if args.run_dir:
+        # explicit run dir: reuse (exact resume from its latest checkpoint)
+        log_dir = args.run_dir
+        os.makedirs(log_dir, exist_ok=True)
+    else:
+        # versioned run dir (reference run_score_based_models_train.py:59-69)
+        log_dir = os.path.join(args.base_path, "DiskEllipses", config.sde.type)
+        os.makedirs(log_dir, exist_ok=True)
+        version_num = 1
+        while os.path.isdir(os.path.join(log_dir, f"version_{version_num:02d}")):
+            version_num += 1
+        log_dir = os.path.join(log_dir, f"version_{version_num:02d}")
+        os.makedirs(log_dir)
     print("save model to", log_dir)
     write_report(os.path.join(log_dir, "report.yaml"), config.to_dict())
 
@@ -88,6 +107,40 @@ def coordinator(args):
     def apply_fn(p, x, t):
         return model.apply({"params": p}, x, t)
 
+    # Train-time validation sampling (reference trainer.py:67-104): every
+    # `sample_freq` epochs draw an unconditional EMA sample grid with the
+    # compiled uncond sampler and save it under <run_dir>/samples.
+    sample_freq = (int(args.sample_freq) if args.sample_freq is not None
+                   else int(config.validation.sample_freq))
+    sample_hook = None
+    if sample_freq > 0:
+        from diffusion_models_dev_project_tpu.sampling.engine import (
+            DiffusionSampler, SamplerSpec)
+        from diffusion_models_dev_project_tpu.utils.reporting import (
+            save_image_png)
+
+        val_bs = int(config.validation.batch_size)
+        im = int(config.data.im_size)
+        spec = SamplerSpec(method="uncond",
+                           num_steps=int(config.validation.num_steps),
+                           batch_size=val_bs, im_shape=(im, im, 1),
+                           eps=float(config.validation.eps))
+        val_sampler = DiffusionSampler(None, sde, spec, score_apply=apply_fn,
+                                       score_params=params)
+        samples_dir = os.path.join(log_dir, "samples")
+        os.makedirs(samples_dir, exist_ok=True)
+
+        def sample_hook(state, epoch):
+            val_sampler.score_params = state.ema.shadow
+            x, _ = val_sampler.sample(
+                jax.random.fold_in(jax.random.PRNGKey(config.seed), epoch))
+            grid = np.clip(np.concatenate(
+                [np.asarray(x[i, ..., 0]) for i in range(val_bs)], axis=1), 0, 1)
+            path = os.path.join(samples_dir, f"epoch_{epoch:04d}.png")
+            save_image_png(path, grid)
+            print(f"validation samples (epoch {epoch}): {path} "
+                  f"mean {grid.mean():.3f} std {grid.std():.3f}")
+
     train_score_model(
         apply_fn, params, sde, batches,
         epochs=config.training.epochs,
@@ -99,7 +152,8 @@ def coordinator(args):
         log_freq=config.training.log_freq,
         save_model_every_n_epoch=config.training.save_model_every_n_epoch,
         log_dir=log_dir, seed=config.seed, mesh=mesh,
-        checkpointer=Checkpointer(os.path.join(log_dir, "ckpts")))
+        checkpointer=Checkpointer(os.path.join(log_dir, "ckpts")),
+        sample_hook=sample_hook, sample_freq=sample_freq)
 
 
 if __name__ == "__main__":

@@ -43,3 +43,31 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
     assert (vdir / "train_log.jsonl").exists()
     ckpts = list((vdir / "ckpts").iterdir())
     assert ckpts, "no checkpoint written"
+
+
+def test_train_cli_run_dir_resume_and_sample_hook(tmp_path, monkeypatch):
+    """--run_dir resumes exactly from the latest checkpoint in place, and
+    --sample_freq emits unconditional EMA sample grids (reference
+    trainer.py:67-104)."""
+    import json
+
+    import run_score_based_models_train as cli
+
+    monkeypatch.chdir(tmp_path)
+    run_dir = str(tmp_path / "run")
+    common = ["--sde", "vesde", "--train_model_on", "ellipses",
+              "--steps_per_epoch", "2", "--batch_size", "2",
+              "--im_size", "64", "--num_channels", "64",
+              "--run_dir", run_dir, "--sample_freq", "1",
+              "--val_num_steps", "3"]
+    cli.coordinator(cli.parser.parse_args(common + ["--epochs", "1"]))
+    samples = list((tmp_path / "run" / "samples").glob("epoch_*.png"))
+    assert samples, "no validation sample grid written"
+
+    # second invocation with more epochs resumes (not restarts) in place
+    cli.coordinator(cli.parser.parse_args(common + ["--epochs", "2"]))
+    steps = [json.loads(l)["step"] for l in
+             open(tmp_path / "run" / "train_log.jsonl")
+             if json.loads(l)["name"] == "train/loss"]
+    assert max(steps) > 2, f"resume did not continue past epoch 1: {steps}"
+    assert not (tmp_path / "run" / "version_01").exists()
