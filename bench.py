@@ -6,10 +6,17 @@ Tweedie + 5-iter CG data consistency + DDIM per step, reference
 (60-angle parallel beam) — as ONE jitted `lax.scan` on the available chip,
 and prints a single JSON line.
 
+Weights are random-normal by default (NOT zeros — MXU timing is
+data-independent but this removes any zero-operand suspicion); pass
+`--ckpt <orbax dir>` to bench with trained weights (channel width is read
+from the checkpoint).  The JSON line carries an MFU companion number
+computed from XLA's own cost analysis of the compiled scan.
+
 The reference publishes no throughput numbers (BASELINE.md); the baseline is
 the north-star target derived from BASELINE.json: 1000-step 256²
 reconstruction in <10 s/image on v5e-8 ⇒ 12.5 steps/sec/chip.
 """
+import argparse
 import json
 import time
 
@@ -19,6 +26,28 @@ import numpy as np
 
 BASELINE_STEPS_PER_SEC_PER_CHIP = 12.5
 NUM_STEPS = 100          # timed scan length (throughput extrapolates to 1000)
+PEAK_BF16_FLOPS_V5E = 197e12   # per-chip peak (TPU v5e: 197 TFLOP/s bf16)
+
+
+def _random_params(model, cfg, seed=0):
+    """Structurally-correct random params without per-shape RNG compiles."""
+    x = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.in_channels))
+    t = jnp.zeros((1,))
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t)
+    rng = np.random.default_rng(seed)
+    return jax.tree_util.tree_map(
+        lambda s: jnp.asarray(rng.normal(0.0, 0.02, s.shape).astype(s.dtype)),
+        shapes)
+
+
+def _load_ckpt(path):
+    """(params, model_channels) from an orbax TrainState dir (EMA shadow)."""
+    from diffusion_models_dev_project_tpu.utils.checkpoint import Checkpointer
+
+    state = Checkpointer(path).restore()
+    params = state["ema"]["shadow"] if "ema" in state else state["params"]
+    stem = params["in_0_0"]["kernel"]          # (3, 3, in, model_channels)
+    return params, int(np.asarray(stem).shape[-1])
 
 
 def main():
@@ -26,18 +55,25 @@ def main():
     from diffusion_models_dev_project_tpu.ops.sde import VESDE
     from diffusion_models_dev_project_tpu.physics.ray_trafo import make_parallel_beam_trafo
     from diffusion_models_dev_project_tpu.sampling.engine import get_standard_sampler
-    from __graft_entry__ import _zeros_params
 
-    cfg = UNetConfig(image_size=256, model_channels=256,
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", default=None,
+                   help="orbax TrainState dir; bench with trained EMA weights")
+    args = p.parse_args()
+
+    trained_params = None
+    model_channels = 256
+    if args.ckpt:
+        trained_params, model_channels = _load_ckpt(args.ckpt)
+
+    cfg = UNetConfig(image_size=256, model_channels=model_channels,
                      channel_mult=(1, 1, 2, 2, 4, 4), num_res_blocks=1,
                      attention_resolutions=(16,), num_heads=4,
                      num_head_channels=64, use_scale_shift_norm=True,
                      resblock_updown=True, dtype="bfloat16")
     model = UNetModel(cfg)
-    variables = _zeros_params(model, cfg)
-
-    def score_fn(x, t):
-        return model.apply(variables, x, t)
+    params = (trained_params if trained_params is not None
+              else _random_params(model, cfg))
 
     sde = VESDE(sigma_min=0.01, sigma_max=100.0)
     trafo = make_parallel_beam_trafo((256, 256), 60)
@@ -49,8 +85,10 @@ def main():
     observation = trafo.apply(jnp.asarray(gt))
 
     sampler = get_standard_sampler(
-        "dds", score_fn, sde, trafo, observation, num_steps=NUM_STEPS,
-        im_shape=(256, 256, 1), gamma=0.01, eta=0.15, cg_iter=5)
+        "dds", None, sde, trafo, observation, num_steps=NUM_STEPS,
+        im_shape=(256, 256, 1), gamma=0.01, eta=0.15, cg_iter=5,
+        score_apply=lambda pp, x, t: model.apply({"params": pp}, x, t),
+        score_params=params)
 
     key = jax.random.PRNGKey(0)
     x, _ = sampler.sample(key)             # compile + warmup
@@ -62,6 +100,20 @@ def main():
     float(jnp.sum(x))
     dt = time.perf_counter() - t0
 
+    # MFU from XLA's cost analysis of the compiled 100-step scan
+    mfu_pct = None
+    try:
+        cost = sampler._compiled.lower(
+            key, sampler.score_params, sampler.ray_trafo, sampler.rhs,
+            sampler.observation, sampler.filtbackproj
+        ).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu_pct = round(100.0 * flops / dt / PEAK_BF16_FLOPS_V5E, 2)
+    except Exception:
+        pass
+
     n_chips = jax.device_count()
     steps_per_sec_per_chip = NUM_STEPS / dt / n_chips
     print(json.dumps({
@@ -69,6 +121,9 @@ def main():
         "value": round(steps_per_sec_per_chip, 3),
         "unit": "steps/s/chip",
         "vs_baseline": round(steps_per_sec_per_chip / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
+        "mfu_pct": mfu_pct,
+        "weights": "trained" if trained_params is not None else "random",
+        "model_channels": model_channels,
     }))
 
 

@@ -131,6 +131,7 @@ class AdaptedSampler:
         self.lora = lora
         self.rhs = ray_trafo.adjoint(observation)
         self._compiled = None
+        self._compiled_batched = None
 
     # --------------------------------------------------------------- score
     def _score(self, frozen_flat, trainable, x, t, scale):
@@ -183,14 +184,13 @@ class AdaptedSampler:
         return trainable
 
     # --------------------------------------------------------------- sample
-    def sample(self, key: jax.Array, return_trace: bool = False):
+    def _build_run(self, gt):
+        """The pure (key, trainable, env) -> (x_mean, trace) program; reused
+        by the single-image jit and the vmapped multi-image path."""
         spec, ad, sde = self.spec, self.adapt, self.sde
         ts, tps, _, _ = _time_arrays(sde, spec)
         b = spec.batch_size
         shape = (b, *spec.im_shape)
-        gt = self.ground_truth
-        biases, frozen0 = split_adapt_params(self.params)
-        trainable0 = {"lora": self.lora, "bias": biases}
 
         def run(key, trainable, env):
             frozen, trafo, rhs, observation = env
@@ -238,11 +238,65 @@ class AdaptedSampler:
             s = self._score(frozen, trainable, x, t_last, 1.0)
             return tweedy(s, x, sde, t_last), trace
 
+        return run
+
+    def sample(self, key: jax.Array, return_trace: bool = False):
+        biases, frozen0 = split_adapt_params(self.params)
+        trainable0 = {"lora": self.lora, "bias": biases}
         env = (frozen0, self.ray_trafo, self.rhs, self.observation)
         if self._compiled is None:
-            self._compiled = jax.jit(run)
+            self._compiled = jax.jit(self._build_run(self.ground_truth))
         x_mean, trace = self._compiled(key, trainable0, env)
         return (x_mean, trace) if return_trace else (x_mean, None)
+
+    def sample_batched(self, keys: jax.Array, observations: jnp.ndarray,
+                       mesh=None):
+        """Adapt-and-sample several images in ONE compiled program.
+
+        Each image keeps its OWN LoRA/bias subtree and Adam state (the
+        reference's per-image model reload, run_adapted_sampling.py:102-105):
+        the single-image program is `jax.vmap`ped over the image axis, so
+        adaptation never couples images.  With `mesh`, the image axis is
+        sharded over the mesh's 'data' axis — the multi-chip adapted-eval
+        mode symmetric to `DiffusionSampler.sample(mesh=...)`.
+
+        Parameters
+        ----------
+        keys : (N,) stacked PRNG keys, one per image (per-image seeding).
+        observations : (N, *obs_shape) stacked per-image observations, each
+            row an observation of the sampler's usual shape.
+        """
+        biases, frozen0 = split_adapt_params(self.params)
+        trainable0 = {"lora": self.lora, "bias": biases}
+        rhs = jax.vmap(self.ray_trafo.adjoint)(observations)
+        cache_key = None if mesh is None else tuple(sorted(mesh.shape.items()))
+        if self._compiled_batched is None or \
+                self._compiled_batched[0] != cache_key:
+            run_b = jax.vmap(self._build_run(gt=None),
+                             in_axes=(0, None, (None, None, 0, 0)))
+            if mesh is None:
+                self._compiled_batched = (cache_key, jax.jit(run_b))
+            else:
+                # vmap folds the per-image LoRA kernels into ONE
+                # feature-grouped conv (group = image); GSPMD cannot
+                # partition a grouped conv along its group axis, so shard
+                # the image axis with shard_map instead — each device runs
+                # a LOCAL vmap over its images and no grouped conv ever
+                # crosses shards.
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                n = observations.shape[0]
+                assert n % mesh.shape["data"] == 0, (n, dict(mesh.shape))
+                self._compiled_batched = (cache_key, jax.jit(shard_map(
+                    run_b, mesh=mesh,
+                    in_specs=(P("data"), P(),
+                              (P(), P(), P("data"), P("data"))),
+                    out_specs=(P("data"), P("data")),
+                    check_vma=False)))
+        x_mean, trace = self._compiled_batched[1](
+            keys, trainable0, (frozen0, self.ray_trafo, rhs, observations))
+        return x_mean
 
 
 def get_standard_adapted_sampler(

@@ -51,6 +51,12 @@ parser.add_argument("--sigma_max", default=None,
                     help="override sde.sigma_max — must match the value the "
                     "checkpoint was trained with (extension)")
 
+parser.add_argument("--shard_images", default=0,
+                    help="adapt-and-sample N images per compiled call (vmap "
+                    "over the image axis — every image keeps its own LoRA "
+                    "and Adam state); with more than one device the image "
+                    "axis is sharded over the mesh's 'data' axis")
+
 parser.add_argument("--debug_nans", action="store_true",
                     help="enable jax_debug_nans (fail at the first NaN)")
 
@@ -99,9 +105,8 @@ def coordinator(args):
     num_images = int(args.num_images) if args.num_images is not None else \
         dataconfig.data.validation.num_images
     seed = config.seed or 0
-    sampler = None
-    _psnr, _ssim = [], []
-    for i, data_sample in enumerate(islice(iter(dataset), num_images)):
+
+    def prepare(i, data_sample):
         key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
         if isinstance(data_sample, (tuple, list)) and len(data_sample) == 3:
             observation, ground_truth, filtbackproj = map(jnp.asarray, data_sample)
@@ -111,30 +116,10 @@ def coordinator(args):
                 gt = gt[None]
             ground_truth, observation, filtbackproj = F.get_data_from_ground_truth(
                 gt, ray_trafo, dataconfig.data.stddev, key)
+        return key, observation, ground_truth, filtbackproj
 
-        if sampler is None:
-            sampler = F.get_standard_adapted_sampler(
-                args.method, model, params, sde, ray_trafo, observation,
-                num_steps=int(args.num_steps), eta=float(args.eta),
-                gamma=float(args.gamma), tv_penalty=float(args.tv_penalty),
-                lr=float(args.lr), num_optim_step=int(args.num_optim_step),
-                adapt_freq=int(args.adapt_freq), lora_rank=int(args.lora_rank),
-                lora_include_blocks=tuple(args.lora_include_blocks),
-                add_cg=bool(args.add_cg), dc_type=args.dc_type,
-                cg_iter=int(args.cg_iter),
-                early_stopping_pct=float(args.early_stopping_pct),
-                ground_truth=ground_truth, lora_seed=i)
-        else:
-            # fresh LoRA per image = the reference's model re-load
-            from diffusion_models_dev_project_tpu.sampling.adaptation import init_lora
-
-            sampler.observation = observation
-            sampler.rhs = ray_trafo.adjoint(observation)
-            sampler.lora = init_lora(model, model.cfg, seed=i)
-
-        recon, _ = sampler.sample(jax.random.fold_in(key, 1))
-        recon = jnp.clip(recon, 0)
-        r = np.asarray(recon[0, ..., 0])
+    def finish(i, recon_row, ground_truth):
+        r = np.asarray(jnp.clip(recon_row, 0)[..., 0])
         g = np.asarray(ground_truth[0, ..., 0])
         save_recon_info(save_root / f"recon_{i}_info.npz", r, g)
         save_image_png(save_root / f"recon_{i}.png", r)
@@ -142,6 +127,60 @@ def coordinator(args):
         print(f"adapted reconstruction of sample {i}\nPSNR: {psnr}\nSSIM: {ssim}")
         _psnr.append(psnr)
         _ssim.append(ssim)
+
+    def make_sampler(observation, ground_truth, lora_seed, batch_images=1):
+        return F.get_standard_adapted_sampler(
+            args.method, model, params, sde, ray_trafo, observation,
+            num_steps=int(args.num_steps), eta=float(args.eta),
+            gamma=float(args.gamma), tv_penalty=float(args.tv_penalty),
+            lr=float(args.lr), num_optim_step=int(args.num_optim_step),
+            adapt_freq=int(args.adapt_freq), lora_rank=int(args.lora_rank),
+            lora_include_blocks=tuple(args.lora_include_blocks),
+            add_cg=bool(args.add_cg), dc_type=args.dc_type,
+            cg_iter=int(args.cg_iter),
+            early_stopping_pct=float(args.early_stopping_pct),
+            ground_truth=ground_truth, lora_seed=lora_seed)
+
+    _psnr, _ssim = [], []
+    shard_n = int(args.shard_images)
+    if shard_n > 0:
+        # vmapped multi-image mode: per-image LoRA/Adam state, image axis
+        # sharded over the mesh (AdaptedSampler.sample_batched)
+        from diffusion_models_dev_project_tpu.parallel.mesh import make_mesh
+
+        n_dev = jax.device_count()
+        mesh = make_mesh() if n_dev > 1 and shard_n % n_dev == 0 else None
+        if mesh is not None:
+            print(f"sharding {shard_n}-image chunks over {n_dev} devices")
+        items = [prepare(i, s)
+                 for i, s in enumerate(islice(iter(dataset), num_images))]
+        sampler = make_sampler(items[0][1], None, lora_seed=0)
+        for c0 in range(0, len(items), shard_n):
+            chunk = items[c0:c0 + shard_n]
+            chunk_p = chunk + [chunk[-1]] * (shard_n - len(chunk))
+            keys = jnp.stack([jax.random.fold_in(k, 1)
+                              for k, _, _, _ in chunk_p])
+            obs = jnp.stack([o for _, o, _, _ in chunk_p])
+            recon = sampler.sample_batched(keys, obs, mesh=mesh)
+            for j, (_, _, ground_truth, _) in enumerate(chunk):
+                finish(c0 + j, recon[j, 0], ground_truth)
+    else:
+        sampler = None
+        for i, data_sample in enumerate(islice(iter(dataset), num_images)):
+            key, observation, ground_truth, filtbackproj = prepare(i, data_sample)
+
+            if sampler is None:
+                sampler = make_sampler(observation, ground_truth, lora_seed=i)
+            else:
+                # fresh LoRA per image = the reference's model re-load
+                from diffusion_models_dev_project_tpu.sampling.adaptation import init_lora
+
+                sampler.observation = observation
+                sampler.rhs = ray_trafo.adjoint(observation)
+                sampler.lora = init_lora(model, model.cfg, seed=i)
+
+            recon, _ = sampler.sample(jax.random.fold_in(key, 1))
+            finish(i, recon[0], ground_truth)
 
     report = dict(dataconfig.to_dict())
     report.update({k: str(v) for k, v in vars(args).items()})

@@ -48,6 +48,14 @@ parser.add_argument("--sigma_max", default=None,
                     help="override sde.sigma_max — must match the value the "
                     "checkpoint was trained with (extension)")
 
+parser.add_argument("--shard_images", default=0,
+                    help="stack N images on the sampler's batch axis per "
+                    "call; with more than one device the batch axis is "
+                    "sharded over the mesh's 'data' axis (the workload's "
+                    "scaling axis, SURVEY.md §2.10 — the reference loops "
+                    "images serially at batch 1, "
+                    "run_conditional_sampling.py:51)")
+
 parser.add_argument("--debug_nans", action="store_true",
                     help="enable jax_debug_nans (fail at the first NaN)")
 
@@ -98,9 +106,10 @@ def coordinator(args):
     num_images = int(args.num_images) if args.num_images is not None else \
         dataconfig.data.validation.num_images
     seed = config.seed or 0
-    sampler = None
-    _psnr, _ssim = [], []
-    for i, data_sample in enumerate(islice(iter(dataset), num_images)):
+
+    def prepare(i, data_sample):
+        """Per-image data with the reference's per-image seeding
+        (run_conditional_sampling.py:52-53)."""
         key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
         if isinstance(data_sample, (tuple, list)) and len(data_sample) == 3:
             observation, ground_truth, filtbackproj = map(jnp.asarray, data_sample)
@@ -110,6 +119,41 @@ def coordinator(args):
                 gt = gt[None]
             ground_truth, observation, filtbackproj = F.get_data_from_ground_truth(
                 gt, ray_trafo, dataconfig.data.stddev, key)
+        return key, observation, ground_truth, filtbackproj
+
+    def finish(i, recon_row, ground_truth):
+        r = np.asarray(jnp.clip(recon_row, 0)[..., 0])
+        g = np.asarray(ground_truth[0, ..., 0])
+        save_recon_info(save_root / f"recon_{i}_info.npz", r, g)
+        save_image_png(save_root / f"recon_{i}.png", r)
+        psnr, ssim = PSNR(r, g), SSIM(r, g)
+        print(f"reconstruction of sample {i}\nPSNR: {psnr}\nSSIM: {ssim}")
+        _psnr.append(psnr)
+        _ssim.append(ssim)
+
+    _psnr, _ssim = [], []
+    shard_n = int(args.shard_images)
+    if shard_n > 0:
+        _sample_sharded(args, F, jax, jnp, ray_trafo, sde, model, params,
+                        score_fn, dataset, num_images, shard_n, prepare, finish)
+    else:
+        _sample_serial(args, F, jax, jnp, ray_trafo, sde, model, params,
+                       score_fn, dataset, num_images, prepare, finish)
+
+    report = dict(dataconfig.to_dict())
+    report.update({k: str(v) for k, v in vars(args).items()})
+    report["PSNR"] = float(np.mean(_psnr))
+    report["SSIM"] = float(np.mean(_ssim))
+    write_report(save_root / "report.yaml", report)
+    print(json.dumps({"PSNR": report["PSNR"], "SSIM": report["SSIM"]}))
+
+
+def _sample_serial(args, F, jax, jnp, ray_trafo, sde, model, params, score_fn,
+                   dataset, num_images, prepare, finish):
+    """Reference protocol: one image at a time, compiled program reused."""
+    sampler = None
+    for i, data_sample in enumerate(islice(iter(dataset), num_images)):
+        key, observation, ground_truth, filtbackproj = prepare(i, data_sample)
 
         if sampler is None:
             sampler = F.get_standard_sampler(
@@ -132,22 +176,54 @@ def coordinator(args):
             sampler.filtbackproj = filtbackproj
 
         recon, _ = sampler.sample(jax.random.fold_in(key, 1))
-        recon = jnp.clip(recon, 0)
-        r = np.asarray(recon[0, ..., 0])
-        g = np.asarray(ground_truth[0, ..., 0])
-        save_recon_info(save_root / f"recon_{i}_info.npz", r, g)
-        save_image_png(save_root / f"recon_{i}.png", r)
-        psnr, ssim = PSNR(r, g), SSIM(r, g)
-        print(f"reconstruction of sample {i}\nPSNR: {psnr}\nSSIM: {ssim}")
-        _psnr.append(psnr)
-        _ssim.append(ssim)
+        finish(i, recon[0], ground_truth)
 
-    report = dict(dataconfig.to_dict())
-    report.update({k: str(v) for k, v in vars(args).items()})
-    report["PSNR"] = float(np.mean(_psnr))
-    report["SSIM"] = float(np.mean(_ssim))
-    write_report(save_root / "report.yaml", report)
-    print(json.dumps({"PSNR": report["PSNR"], "SSIM": report["SSIM"]}))
+
+def _sample_sharded(args, F, jax, jnp, ray_trafo, sde, model, params, score_fn,
+                    dataset, num_images, shard_n, prepare, finish):
+    """Multi-image mode: `shard_n` images stacked on the batch axis, sharded
+    over the device mesh when one is available (SamplerSpec.batch_size =
+    shard_n; sampling/engine.py:148-180).  Per-image observation seeds match
+    the serial path exactly; the reverse-diffusion noise comes from one key
+    per chunk (statistical, not bitwise, equivalence — SURVEY.md §7 hard
+    part 5)."""
+    from diffusion_models_dev_project_tpu.parallel.mesh import make_mesh
+
+    n_dev = jax.device_count()
+    mesh = make_mesh() if n_dev > 1 and shard_n % n_dev == 0 else None
+    if mesh is not None:
+        print(f"sharding {shard_n}-image batches over {n_dev} devices")
+
+    items = [prepare(i, s)
+             for i, s in enumerate(islice(iter(dataset), num_images))]
+    sampler = None
+    for c0 in range(0, len(items), shard_n):
+        chunk = items[c0:c0 + shard_n]
+        pad = shard_n - len(chunk)          # last chunk: pad, discard extras
+        chunk_p = chunk + [chunk[-1]] * pad
+        obs = jnp.concatenate([o for _, o, _, _ in chunk_p])
+        fbp = jnp.concatenate([f for _, _, _, f in chunk_p])
+        if sampler is None:
+            sampler = F.get_standard_sampler(
+                args.method, score_fn, sde, ray_trafo, obs,
+                num_steps=int(args.num_steps), batch_size=shard_n,
+                im_shape=(*ray_trafo.model_im_shape, 1),
+                penalty=float(args.penalty), gamma=float(args.gamma),
+                eta=float(args.eta), cg_iter=int(args.cg_iter),
+                pct_chain_elapsed=float(args.pct_chain_elapsed),
+                early_stopping_pct=(None if float(args.early_stopping_pct) == 1.0
+                                    else float(args.early_stopping_pct)),
+                filtbackproj=fbp,
+                add_corrector_step=bool(args.add_corrector_step),
+                score_apply=lambda p, x, t: model.apply({"params": p}, x, t),
+                score_params=params)
+        else:
+            sampler.observation = obs
+            sampler.rhs = ray_trafo.adjoint(obs)
+            sampler.filtbackproj = fbp
+        recon, _ = sampler.sample(jax.random.fold_in(chunk[0][0], 1), mesh=mesh)
+        for j, (_, _, ground_truth, _) in enumerate(chunk):
+            finish(c0 + j, recon[j], ground_truth)
 
 
 if __name__ == "__main__":

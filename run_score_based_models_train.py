@@ -37,6 +37,8 @@ parser.add_argument("--sample_freq", default=None,
 parser.add_argument("--val_num_steps", default=None,
                     help="override config.validation.num_steps for the "
                     "train-time sample grids")
+parser.add_argument("--save_every_n_epoch", default=None,
+                    help="override config.training.save_model_every_n_epoch")
 
 parser.add_argument("--debug_nans", action="store_true",
                     help="enable jax_debug_nans (fail at the first NaN)")
@@ -73,6 +75,8 @@ def coordinator(args):
         config.model.dtype = args.dtype
     if args.val_num_steps is not None:
         config.validation.num_steps = int(args.val_num_steps)
+    if args.save_every_n_epoch is not None:
+        config.training.save_model_every_n_epoch = int(args.save_every_n_epoch)
 
     sde = F.get_standard_sde(config)
     model, params, _ = F.get_standard_score(config, sde, load_model=False)

@@ -150,6 +150,40 @@ def test_adapted_sampler_end_to_end_improves_datafit():
     assert datafit(x_adapted) < datafit(x_unadapted)
 
 
+def test_sample_batched_matches_serial():
+    """The vmapped multi-image path reproduces the single-image program
+    row-for-row (same key, same observation, same LoRA init)."""
+    _, lora_model = _models()
+    params, _ = _init_all(lora_model)
+    sde = VESDE(sigma_min=0.01, sigma_max=5.0)
+    trafo = make_parallel_beam_trafo((16, 16), 10)
+    gts = np.zeros((2, 1, 16, 16, 1), np.float32)
+    gts[0, 0, 5:11, 5:11, 0] = 1.0
+    gts[1, 0, 3:8, 6:14, 0] = 0.7
+    obs = [simulate(jax.random.fold_in(jax.random.PRNGKey(3), i),
+                    jnp.asarray(g), trafo, 0.01) for i, g in enumerate(gts)]
+
+    sampler = get_standard_adapted_sampler(
+        "dds", lora_model, params, sde, trafo, obs[0], num_steps=3,
+        im_shape=(16, 16, 1), num_optim_step=2, adapt_freq=1, lr=1e-2,
+        dc_type="cg", cg_iter=2, add_cg=True)
+    keys = [jax.random.PRNGKey(11), jax.random.PRNGKey(22)]
+
+    x0, _ = sampler.sample(keys[0])
+    sampler.observation = obs[1]
+    sampler.rhs = trafo.adjoint(obs[1])
+    x1, _ = sampler.sample(keys[1])
+
+    xb = sampler.sample_batched(jnp.stack(keys), jnp.stack(obs))
+    assert xb.shape == (2, 1, 16, 16, 1)
+    # batch-2 convs tile differently from batch-1 (float noise ~1e-7),
+    # amplified ~2e-4 by the inner Adam loop — equivalence, not bitwise
+    np.testing.assert_allclose(np.asarray(xb[0]), np.asarray(x0),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xb[1]), np.asarray(x1),
+                               rtol=1e-3, atol=1e-5)
+
+
 def test_adapt_freq_gating():
     """adapt_freq=2 must adapt on steps 0 and 2 only — verify it changes the
     result vs adapt_freq=1 but still adapts vs no adaptation."""

@@ -28,6 +28,28 @@ def test_conditional_cli_end_to_end(tmp_path, monkeypatch):
     assert blob["recon"].shape == (64, 64)
 
 
+def test_conditional_cli_shard_images(tmp_path, monkeypatch):
+    """--shard_images batches images through one compiled sampler call
+    (sharding over the mesh when divisible); last chunk is padded."""
+    import run_conditional_sampling as cli
+
+    monkeypatch.chdir(tmp_path)
+    args = cli.parser.parse_args([
+        "--dataset", "ellipses", "--model_learned_on", "ellipses",
+        "--method", "dds", "--num_steps", "3", "--num_images", "3",
+        "--shard_images", "2",
+        "--sde", "vesde", "--im_size", "64", "--num_channels", "64"])
+    cli.coordinator(args)
+    runs = list((tmp_path / "outputs").rglob("report.yaml"))
+    assert len(runs) == 1
+    rep = yaml.safe_load(open(runs[0]))
+    assert "PSNR" in rep
+    out_dir = runs[0].parent
+    for i in range(3):
+        assert (out_dir / f"recon_{i}.png").exists()
+    assert not (out_dir / "recon_3.png").exists()
+
+
 def test_train_cli_end_to_end(tmp_path, monkeypatch):
     import run_score_based_models_train as cli
 
