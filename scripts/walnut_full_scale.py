@@ -83,13 +83,20 @@ def main():
     vecs = circular_cone_vecs(1200, src_radius=SOD, det_radius=SDD - SOD,
                               det_spacing=(PIX, PIX))
 
+    # The shipped SINGLE_SLICE_CONFIGS encode the REAL scanner's detector
+    # row offset (slice_offset=3 against rows 474..482); the synthetic
+    # circular orbit is perfectly centered, so use the centered equivalent —
+    # central slice of a 9-slice slab against the 9 detector-center rows.
+    slice_cfg = dict(num_slices=9, slice_offset=0, num_proj_rows=9,
+                     first_proj_row=(972 - 9) // 2)
+
     mat_file = os.path.join(args.workdir, matrix_filename(1, 2, ASS, CSS))
     fresh = not os.path.exists(mat_file)
     t0 = time.time()
     rt_ell = get_walnut_2d_ray_trafo(
         args.workdir, walnut_id=1, orbit_id=2, angular_sub_sampling=ASS,
         proj_col_sub_sampling=CSS, new_shape=(256, 256), vecs_all=vecs,
-        impl="ell")
+        impl="ell", single_slice_config=slice_cfg)
     t_build = time.time() - t0
     what = "mask probe + single-pass assembly + .mat save" if fresh else \
         ".mat load"
@@ -106,7 +113,7 @@ def main():
     rt_dense = get_walnut_2d_ray_trafo(
         args.workdir, walnut_id=1, orbit_id=2, angular_sub_sampling=ASS,
         proj_col_sub_sampling=CSS, new_shape=(256, 256), vecs_all=vecs,
-        impl="dense")
+        impl="dense", single_slice_config=slice_cfg)
     print(f"[dense] model-grid densify in {time.time() - t0:.1f}s "
           f"({rt_dense.matrix.shape}, "
           f"{rt_dense.matrix.size * 4 / 1e9:.2f} GB fp32)")
