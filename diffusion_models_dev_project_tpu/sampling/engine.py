@@ -145,15 +145,12 @@ class DiffusionSampler:
             aTweedy=(spec.method == "dps"))
 
     # ------------------------------------------------------------- sample
-    def sample(self, key: jax.Array, return_trace: bool = False, mesh=None):
-        """Run the full reverse diffusion; returns (x_mean, trace|None).
+    def ensure_compiled(self, mesh=None):
+        """Build (once) and return the jitted reverse-diffusion program.
 
-        With `mesh`, the batch axis is sharded over the mesh's 'data' axis —
-        the multi-chip evaluation mode (SURVEY.md §2.10: conditional sampling
-        is embarrassingly parallel across images; stack per-image
-        observations along the batch axis).  batch_size must divide by the
-        mesh size; parameters and the physics operator stay replicated and
-        XLA/GSPMD keeps every step collective-free.
+        Exposed so callers can AOT-lower it (`.lower(...).compile()`) for
+        cost analysis without paying a second trace+compile — bench.py
+        stores the resulting executable back into `self._compiled`.
         """
         spec = self.spec
         ts, tps, dfs, step_size = _time_arrays(self.sde, spec)
@@ -169,15 +166,8 @@ class DiffusionSampler:
             assert b % mesh.shape["data"] == 0, (b, dict(mesh.shape))
             batch_sharding = NamedSharding(
                 mesh, PartitionSpec("data", None, None, None))
-
-            def shard_b(v):
-                return (jax.device_put(v, batch_sharding)
-                        if (v is not None and getattr(v, "ndim", 0) == 4
-                            and v.shape[0] == b) else v)
-
-            self.observation = shard_b(self.observation)
-            self.rhs = shard_b(self.rhs)
-            self.filtbackproj = shard_b(self.filtbackproj)
+        self._batch_sharding = batch_sharding
+        self._reshard_batch()
 
         def run(key, params, trafo, rhs, observation, filtbackproj):
             if self.score_apply is not None:
@@ -229,9 +219,40 @@ class DiffusionSampler:
 
         if self._compiled is None:
             self._compiled = jax.jit(run)
-        x_mean, trace = self._compiled(key, self.score_params, self.ray_trafo,
-                                       self.rhs, self.observation,
-                                       self.filtbackproj)
+        return self._compiled
+
+    def _reshard_batch(self):
+        """device_put the per-image inputs with the batch sharding (no-op
+        when already placed or when sampling unsharded)."""
+        sh = getattr(self, "_batch_sharding", None)
+        if sh is None:
+            return
+        b = self.spec.batch_size
+
+        def shard_b(v):
+            return (jax.device_put(v, sh)
+                    if (v is not None and getattr(v, "ndim", 0) == 4
+                        and v.shape[0] == b) else v)
+
+        self.observation = shard_b(self.observation)
+        self.rhs = shard_b(self.rhs)
+        self.filtbackproj = shard_b(self.filtbackproj)
+
+    def sample(self, key: jax.Array, return_trace: bool = False, mesh=None):
+        """Run the full reverse diffusion; returns (x_mean, trace|None).
+
+        With `mesh`, the batch axis is sharded over the mesh's 'data' axis —
+        the multi-chip evaluation mode (SURVEY.md §2.10: conditional sampling
+        is embarrassingly parallel across images; stack per-image
+        observations along the batch axis).  batch_size must divide by the
+        mesh size; parameters and the physics operator stay replicated and
+        XLA/GSPMD keeps every step collective-free.
+        """
+        compiled = self.ensure_compiled(mesh=mesh)
+        self._reshard_batch()      # new per-image inputs since last call
+        x_mean, trace = compiled(key, self.score_params, self.ray_trafo,
+                                 self.rhs, self.observation,
+                                 self.filtbackproj)
         return (x_mean, trace) if return_trace else (x_mean, None)
 
 

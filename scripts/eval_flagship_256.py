@@ -1,12 +1,16 @@
-"""Flagship-resolution evaluation: DDS on the reference's shipped 256² val
-set (dataset/disk_ellipses_val_256.pt, converted to data_assets/) with a
-256²-trained prior — the canonical disk_ellipses protocol of
-`run_conditional_sampling.py` (60 angles, rel. noise 0.01).
+"""Flagship-resolution evaluation: DDS / DPS / naive on the reference's
+shipped 256² val set (dataset/disk_ellipses_val_256.pt, converted to
+data_assets/) with a 256²-trained prior — the canonical disk_ellipses
+protocol of `run_conditional_sampling.py` (60 angles, rel. noise 0.01).
 
-Usage: PYTHONPATH=. python scripts/eval_flagship_256.py <ckpt_dir>
-           [num_steps] [num_images] [num_channels]
+Reference defaults (run_conditional_sampling.py:18-24): 1000 steps,
+eta=0.15 gamma=0.01 cg_iter=5 for DDS; penalty=1 for DPS/naive.
+
+Usage: PYTHONPATH=. python scripts/eval_flagship_256.py --ckpt <orbax dir>
+           [--method dds|dps|naive] [--eta 0.15] [--penalty 1.0]
+           [--num_steps 1000] [--num_images 10] [--num_channels 128]
 """
-import sys
+import argparse
 import time
 
 import numpy as np
@@ -17,19 +21,28 @@ import diffusion_models_dev_project_tpu.factory as F
 from diffusion_models_dev_project_tpu.configs.disk_ellipses_configs import get_config
 from diffusion_models_dev_project_tpu.utils.metrics import PSNR, SSIM
 
-CKPT = sys.argv[1]
-NUM_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
-NUM_IMAGES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-CHANNELS = int(sys.argv[4]) if len(sys.argv) > 4 else 128
-ETA = float(sys.argv[6]) if len(sys.argv) > 6 else 0.15
+parser = argparse.ArgumentParser()
+parser.add_argument("--ckpt", required=True)
+parser.add_argument("--method", default="dds", choices=["dds", "dps", "naive"])
+parser.add_argument("--num_steps", default=1000, type=int)
+parser.add_argument("--num_images", default=10, type=int)
+parser.add_argument("--num_channels", default=128, type=int)
+parser.add_argument("--dtype", default="bfloat16")
+parser.add_argument("--eta", default=0.15, type=float)
+parser.add_argument("--gamma", default=0.01, type=float)
+parser.add_argument("--penalty", default=1.0, type=float)
+parser.add_argument("--cg_iter", default=5, type=int)
+parser.add_argument("--save_npz", default=None,
+                    help="save per-image recon/gt stacks to this .npz")
+args = parser.parse_args()
 
 
 def main():
     config = get_config("vesde")
-    config.model.num_channels = CHANNELS
-    config.model.dtype = sys.argv[5] if len(sys.argv) > 5 else "bfloat16"
+    config.model.num_channels = args.num_channels
+    config.model.dtype = args.dtype
     config.data.part = "val"                    # the shipped set
-    config.ckpt_path = CKPT
+    config.ckpt_path = args.ckpt
 
     sde = F.get_standard_sde(config)
     model, params, _ = F.get_standard_score(config, sde, use_ema=True,
@@ -38,9 +51,9 @@ def main():
     dataset = F.get_standard_dataset(config)
 
     sampler = None
-    psnrs, ssims, fbps = [], [], []
+    psnrs, ssims, fbps, recons, gts = [], [], [], [], []
     for i, gt in enumerate(dataset):
-        if i >= NUM_IMAGES:
+        if i >= args.num_images:
             break
         gt = jnp.asarray(gt)[None]
         key = jax.random.fold_in(jax.random.PRNGKey(config.seed), i)
@@ -48,13 +61,15 @@ def main():
                                                     config.data.stddev, key)
         if sampler is None:
             sampler = F.get_standard_sampler(
-                "dds", None, sde, trafo, obs, num_steps=NUM_STEPS,
-                im_shape=(256, 256, 1), gamma=0.01, eta=ETA, cg_iter=5,
+                args.method, None, sde, trafo, obs, num_steps=args.num_steps,
+                im_shape=(256, 256, 1), gamma=args.gamma, eta=args.eta,
+                cg_iter=args.cg_iter, penalty=args.penalty, filtbackproj=fbp,
                 score_apply=lambda p, x, t: model.apply({"params": p}, x, t),
                 score_params=params)
         else:
             sampler.observation = obs
             sampler.rhs = trafo.adjoint(obs)
+            sampler.filtbackproj = fbp
         t0 = time.time()
         x, _ = sampler.sample(jax.random.fold_in(key, 1))
         x = np.clip(np.asarray(x[0, ..., 0]), 0, 1)
@@ -62,11 +77,15 @@ def main():
         dt = time.time() - t0
         p, s = PSNR(x, g), SSIM(x, g)
         fp = PSNR(np.asarray(fbp[0, ..., 0]), g)
-        print(f"image {i}: DDS {p:6.2f} dB / {s:.4f} SSIM | FBP {fp:6.2f} dB"
-              f" | {dt:.1f}s")
+        print(f"image {i}: {args.method} {p:6.2f} dB / {s:.4f} SSIM | "
+              f"FBP {fp:6.2f} dB | {dt:.1f}s", flush=True)
         psnrs.append(p); ssims.append(s); fbps.append(fp)
-    print(f"MEAN over {len(psnrs)}: DDS {np.mean(psnrs):.2f} dB / "
+        recons.append(x); gts.append(g)
+    print(f"MEAN over {len(psnrs)}: {args.method} {np.mean(psnrs):.2f} dB / "
           f"{np.mean(ssims):.4f} SSIM | FBP {np.mean(fbps):.2f} dB")
+    if args.save_npz:
+        np.savez(args.save_npz, recon=np.stack(recons), gt=np.stack(gts),
+                 psnr=np.array(psnrs), ssim=np.array(ssims))
 
 
 if __name__ == "__main__":

@@ -145,19 +145,22 @@ def main():
     # ---- timing: apply / adjoint / AtA at protocol scale --------------------
     cmp_apply = {}
     for name, rt in (("ell", rt_ell), ("dense", rt_dense)):
-        apply_j = jax.jit(rt.apply)
-        adj_j = jax.jit(lambda y, rt=rt: rt.adjoint(y))
-        y = apply_j(x_model); fetch(y)
-        z = adj_j(y); fetch(z)
+        # the trafo must be a jit ARGUMENT: closing over it would bake the
+        # (up to 2 GB) matrix into the HLO as a constant, which the TPU
+        # relay's remote_compile endpoint rejects (HTTP 413)
+        apply_j = jax.jit(lambda rt_, xx: rt_.apply(xx))
+        adj_j = jax.jit(lambda rt_, yy: rt_.adjoint(yy))
+        y = apply_j(rt, x_model); fetch(y)
+        z = adj_j(rt, y); fetch(z)
         n_rep = 20
         t0 = time.time()
         for _ in range(n_rep):
-            y = apply_j(x_model)
+            y = apply_j(rt, x_model)
         fetch(y)
         t_ap = (time.time() - t0) / n_rep
         t0 = time.time()
         for _ in range(n_rep):
-            z = adj_j(y)
+            z = adj_j(rt, y)
         fetch(z)
         t_ad = (time.time() - t0) / n_rep
         print(f"[{name}] apply {t_ap * 1e3:.2f} ms, adjoint {t_ad * 1e3:.2f} ms"
