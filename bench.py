@@ -112,14 +112,17 @@ def main():
     float(jnp.sum(x))
     dt = time.perf_counter() - t0
 
-    # MFU from XLA's cost analysis of the compiled 100-step scan
-    mfu_pct = None
+    # MFU from the analytic matmul/conv FLOP count of the whole scan
+    # (XLA:TPU cost_analysis under-reports conv FLOPs ~50x on this backend)
+    mfu_pct = gflops_per_step = None
     try:
-        cost = compiled.cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops = float(cost.get("flops", 0.0))
-        if flops > 0:
-            mfu_pct = round(100.0 * flops / dt / PEAK_BF16_FLOPS_V5E, 2)
+        from diffusion_models_dev_project_tpu.utils.flops import jaxpr_flops
+
+        flops = jaxpr_flops(jax.make_jaxpr(jitfn)(
+            key, sampler.score_params, sampler.ray_trafo, sampler.rhs,
+            sampler.observation, sampler.filtbackproj))
+        mfu_pct = round(100.0 * flops / dt / PEAK_BF16_FLOPS_V5E, 2)
+        gflops_per_step = round(flops / NUM_STEPS / 1e9, 1)
     except Exception:
         pass
 
@@ -131,6 +134,7 @@ def main():
         "unit": "steps/s/chip",
         "vs_baseline": round(steps_per_sec_per_chip / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
         "mfu_pct": mfu_pct,
+        "gflops_per_step": gflops_per_step,
         "weights": "trained" if trained_params is not None else "random",
         "model_channels": model_channels,
     }))
