@@ -23,7 +23,11 @@ from diffusion_models_dev_project_tpu.utils.metrics import PSNR, SSIM
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--ckpt", required=True)
+parser.add_argument("--sde", default="vesde", choices=["vesde", "vpsde", "ddpm"])
 parser.add_argument("--method", default="dds", choices=["dds", "dps", "naive"])
+parser.add_argument("--travel_length", default=1, type=int)
+parser.add_argument("--travel_repeat", default=1, type=int)
+parser.add_argument("--early_stopping_pct", default=None, type=float)
 parser.add_argument("--num_steps", default=1000, type=int)
 parser.add_argument("--num_images", default=10, type=int)
 parser.add_argument("--num_channels", default=128, type=int)
@@ -38,7 +42,7 @@ args = parser.parse_args()
 
 
 def main():
-    config = get_config("vesde")
+    config = get_config(args.sde)
     config.model.num_channels = args.num_channels
     config.model.dtype = args.dtype
     config.data.part = "val"                    # the shipped set
@@ -64,6 +68,9 @@ def main():
                 args.method, None, sde, trafo, obs, num_steps=args.num_steps,
                 im_shape=(256, 256, 1), gamma=args.gamma, eta=args.eta,
                 cg_iter=args.cg_iter, penalty=args.penalty, filtbackproj=fbp,
+                travel_length=args.travel_length,
+                travel_repeat=args.travel_repeat,
+                early_stopping_pct=args.early_stopping_pct,
                 score_apply=lambda p, x, t: model.apply({"params": p}, x, t),
                 score_params=params)
         else:
