@@ -116,6 +116,9 @@ class FFTRayTransform:
     obs_shape: Tuple[int, int]
     canvas: int
     quad_groups: Tuple[Tuple[int, Tuple[int, ...]], ...]   # (k90, angle idxs)
+    shear: tuple = ()     # per-group (cos, sin) phase ramps, precomputed —
+                          # recomputing them in-graph cost ~25M VPU
+                          # transcendentals per apply
     angles: Optional[np.ndarray] = None
     fbp_scale: float = 1.0
     fbp_filter: str = "ramp"
@@ -123,7 +126,7 @@ class FFTRayTransform:
 
     # --- pytree ----------------------------------------------------------
     def tree_flatten(self):
-        leaves = (self.det_matrix, self.phis, self.dft)
+        leaves = (self.det_matrix, self.phis, self.dft, self.shear)
         aux = (self.im_shape, self.obs_shape, self.canvas, self.quad_groups,
                None if self.angles is None else self.angles.tobytes(),
                None if self.angles is None else self.angles.shape,
@@ -135,7 +138,9 @@ class FFTRayTransform:
         (im_shape, obs_shape, canvas, quad_groups, ang_b, ang_shape,
          fbp_scale, fbp_filter, resize_shape) = aux
         angles = None if ang_b is None else np.frombuffer(ang_b).reshape(ang_shape)
-        return cls(*leaves, im_shape=im_shape, obs_shape=obs_shape,
+        det_matrix, phis, dft, shear = leaves
+        return cls(det_matrix=det_matrix, phis=phis, dft=dft, shear=shear,
+                   im_shape=im_shape, obs_shape=obs_shape,
                    canvas=canvas, quad_groups=quad_groups, angles=angles,
                    fbp_scale=fbp_scale, fbp_filter=fbp_filter,
                    resize_shape=resize_shape)
@@ -156,14 +161,15 @@ class FFTRayTransform:
         Fr, Fi, Br, Bi = self.dft
         A = self.phis.shape[0]
         out = jnp.zeros((x.shape[0], A, self.obs_shape[1]), x.dtype)
-        for k90, idxs in self.quad_groups:
+        for gi, (k90, idxs) in enumerate(self.quad_groups):
             im = base
             for _ in range(k90 % 4):
                 im = jnp.rot90(im, -1, axes=(-2, -1))
             # row-wise DFT once per quadrant group: (N, P, Pf)
             Xr = jnp.matmul(im, Fr, precision=_PREC)
             Xi = jnp.matmul(im, Fi, precision=_PREC)
-            pr, pi = _shear_phases(self.phis[jnp.asarray(idxs)], P)
+            pr, pi = (self.shear[gi] if gi < len(self.shear)
+                      else _shear_phases(self.phis[jnp.asarray(idxs)], P))
             # shear + row sum fused in the frequency domain: (N, G, Pf)
             Zr = (jnp.einsum("npk,gpk->ngk", Xr, pr, precision=_PREC)
                   - jnp.einsum("npk,gpk->ngk", Xi, pi, precision=_PREC))
@@ -220,12 +226,15 @@ def make_fft_parallel_trafo(im_shape: Tuple[int, int],
     for i, k in enumerate(k90s):
         groups.setdefault(int(k), []).append(i)
     quad_groups = tuple((k, tuple(v)) for k, v in sorted(groups.items()))
+    phis_j = jnp.asarray(phis, jnp.float32)
+    shear = tuple(_shear_phases(phis_j[jnp.asarray(idxs)], P)
+                  for _, idxs in quad_groups)
     trafo = FFTRayTransform(
         det_matrix=jnp.asarray(_det_interp_matrices(P, geom.det_count,
                                                     geom.det_spacing, phis)),
-        phis=jnp.asarray(phis, jnp.float32), dft=_dft_matrices(P),
+        phis=phis_j, dft=_dft_matrices(P),
         im_shape=tuple(im_shape), obs_shape=geom.obs_shape, canvas=P,
-        quad_groups=quad_groups, angles=geom.angles)
+        quad_groups=quad_groups, shear=shear, angles=geom.angles)
     from .ray_trafo import _calibrate_fbp_scale
 
     trafo.fbp_scale = _calibrate_fbp_scale(trafo)
