@@ -38,6 +38,9 @@ parser.add_argument("--penalty", default=1.0, type=float)
 parser.add_argument("--cg_iter", default=5, type=int)
 parser.add_argument("--save_npz", default=None,
                     help="save per-image recon/gt stacks to this .npz")
+parser.add_argument("--trace", action="store_true",
+                    help="record the in-graph per-step PSNR trace (first "
+                    "image only) and print its quartiles")
 args = parser.parse_args()
 
 
@@ -71,8 +74,18 @@ def main():
                 travel_length=args.travel_length,
                 travel_repeat=args.travel_repeat,
                 early_stopping_pct=args.early_stopping_pct,
+                ground_truth=(gt if args.trace else None),
                 score_apply=lambda p, x, t: model.apply({"params": p}, x, t),
                 score_params=params)
+            if args.trace:
+                _, tr = sampler.sample(jax.random.fold_in(key, 1),
+                                       return_trace=True)
+                tr = np.asarray(tr)
+                q = [tr[int(f * (len(tr) - 1))] for f in
+                     (0.0, 0.25, 0.5, 0.75, 0.9, 0.95, 1.0)]
+                print("trace PSNR @ {0,25,50,75,90,95,100}% of steps:",
+                      " ".join(f"{v:.1f}" for v in q), flush=True)
+                np.save("trace_psnr.npy", tr)
         else:
             sampler.observation = obs
             sampler.rhs = trafo.adjoint(obs)
