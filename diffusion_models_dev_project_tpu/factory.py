@@ -99,7 +99,13 @@ def _load_params(path: str, cfg, use_ema: bool):
         import flax
 
         with open(path, "rb") as f:
-            return flax.serialization.msgpack_restore(f.read())
+            tree = flax.serialization.msgpack_restore(f.read())
+        # shipped checkpoints store fp16/bf16 to stay git-sized
+        # (checkpoints/*.msgpack.npz); compute wants fp32 masters
+        return jax.tree_util.tree_map(
+            lambda a: (jnp.asarray(a, jnp.float32)
+                       if a.dtype in (np.float16, jnp.bfloat16)
+                       else jnp.asarray(a)), tree)
     raise ValueError(f"unrecognized checkpoint format: {path}")
 
 
