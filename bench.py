@@ -121,7 +121,10 @@ def main():
         flops = jaxpr_flops(jax.make_jaxpr(jitfn)(
             key, sampler.score_params, sampler.ray_trafo, sampler.rhs,
             sampler.observation, sampler.filtbackproj))
-        mfu_pct = round(100.0 * flops / dt / PEAK_BF16_FLOPS_V5E, 2)
+        # the unsharded sampler executes on ONE chip; per-chip MFU uses the
+        # same denominator convention as steps_per_sec_per_chip below
+        mfu_pct = round(100.0 * flops / dt
+                        / (PEAK_BF16_FLOPS_V5E * jax.device_count()), 2)
         gflops_per_step = round(flops / NUM_STEPS / 1e9, 1)
     except Exception:
         pass

@@ -30,6 +30,7 @@ from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 __all__ = ["UNetModel", "UNetConfig", "build_arch_spec", "timestep_embedding",
@@ -569,5 +570,3 @@ class UNetModel(nn.Module):
 def count_params(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
 
-
-import numpy as np  # noqa: E402  (used by count_params)

@@ -250,7 +250,7 @@ class AdaptedSampler:
         return (x_mean, trace) if return_trace else (x_mean, None)
 
     def sample_batched(self, keys: jax.Array, observations: jnp.ndarray,
-                       mesh=None):
+                       mesh=None, lora_stack=None):
         """Adapt-and-sample several images in ONE compiled program.
 
         Each image keeps its OWN LoRA/bias subtree and Adam state (the
@@ -265,15 +265,23 @@ class AdaptedSampler:
         keys : (N,) stacked PRNG keys, one per image (per-image seeding).
         observations : (N, *obs_shape) stacked per-image observations, each
             row an observation of the sampler's usual shape.
+        lora_stack : optional (N, ...) stacked per-image LoRA trees (one
+            `init_lora(seed=i)` per image, stacked on axis 0) — the batched
+            counterpart of the serial path's per-image re-init.  Without it
+            every image starts from the sampler's single shared LoRA init.
         """
         biases, frozen0 = split_adapt_params(self.params)
-        trainable0 = {"lora": self.lora, "bias": biases}
+        stacked = lora_stack is not None
+        trainable0 = {"lora": lora_stack if stacked else self.lora,
+                      "bias": biases}
+        tr_axes = {"lora": 0 if stacked else None, "bias": None}
         rhs = jax.vmap(self.ray_trafo.adjoint)(observations)
-        cache_key = None if mesh is None else tuple(sorted(mesh.shape.items()))
+        cache_key = (stacked, None if mesh is None
+                     else tuple(sorted(mesh.shape.items())))
         if self._compiled_batched is None or \
                 self._compiled_batched[0] != cache_key:
             run_b = jax.vmap(self._build_run(gt=None),
-                             in_axes=(0, None, (None, None, 0, 0)))
+                             in_axes=(0, tr_axes, (None, None, 0, 0)))
             if mesh is None:
                 self._compiled_batched = (cache_key, jax.jit(run_b))
             else:
@@ -288,9 +296,11 @@ class AdaptedSampler:
 
                 n = observations.shape[0]
                 assert n % mesh.shape["data"] == 0, (n, dict(mesh.shape))
+                tr_specs = {"lora": P("data") if stacked else P(),
+                            "bias": P()}
                 self._compiled_batched = (cache_key, jax.jit(shard_map(
                     run_b, mesh=mesh,
-                    in_specs=(P("data"), P(),
+                    in_specs=(P("data"), tr_specs,
                               (P(), P(), P("data"), P("data"))),
                     out_specs=(P("data"), P("data")),
                     check_vma=False)))

@@ -41,17 +41,20 @@ class TrainState(NamedTuple):
 
 
 def make_train_step(model_apply: Callable, sde: SDE, optimizer,
-                    ema_decay: float, ema_warm_start_steps: int):
-    """Build the jitted (state, batch, key) -> (state, loss) step."""
+                    ema_decay: float, ema_warm_start_steps: int,
+                    loss_kwargs: Optional[dict] = None):
+    """Build the jitted (state, batch, key) -> (state, loss) step.
+
+    `loss_kwargs` are forwarded to the loss (e.g. ``sigma_alpha`` for the
+    σ-stratified reweighting of `score_matching_loss`)."""
 
     loss_impl = (score_matching_loss if sde.prediction_type == "score"
                  else epsilon_matching_loss)
+    loss_kwargs = dict(loss_kwargs or {})
 
     def loss_fn(params, key, batch):
         model = lambda x, t: model_apply(params, x, t)
-        if sde.prediction_type == "score":
-            return loss_impl(key, batch, model, sde)
-        return loss_impl(key, batch, model, sde)
+        return loss_impl(key, batch, model, sde, **loss_kwargs)
 
     def step_fn(state: TrainState, batch: jnp.ndarray, key: jax.Array):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, key, batch)
@@ -128,6 +131,7 @@ def train_score_model(
     checkpointer=None,
     sample_hook: Optional[Callable] = None,
     sample_freq: int = 0,
+    loss_kwargs: Optional[dict] = None,
 ) -> TrainState:
     """Run the training loop; returns final state.
 
@@ -154,7 +158,7 @@ def train_score_model(
         start_epoch = int(state.step) // max(steps_per_epoch, 1)
         print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
     step_fn = make_train_step(model_apply, sde, optimizer, ema_decay,
-                              ema_warm_start_steps)
+                              ema_warm_start_steps, loss_kwargs=loss_kwargs)
     log = TrainLog(log_dir)
     key = jax.random.PRNGKey(seed)
 

@@ -65,6 +65,8 @@ def _sub_jaxprs(eqn):
             if key in p:
                 sub = p[key]
                 yield getattr(sub, "jaxpr", sub), 1.0
+                break    # a primitive carrying two of these aliases the
+                         # same program — yielding both double-counts
 
 
 def _jaxpr_flops(jaxpr) -> float:

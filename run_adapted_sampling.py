@@ -128,7 +128,7 @@ def coordinator(args):
         _psnr.append(psnr)
         _ssim.append(ssim)
 
-    def make_sampler(observation, ground_truth, lora_seed, batch_images=1):
+    def make_sampler(observation, ground_truth, lora_seed):
         return F.get_standard_adapted_sampler(
             args.method, model, params, sde, ray_trafo, observation,
             num_steps=int(args.num_steps), eta=float(args.eta),
@@ -148,10 +148,17 @@ def coordinator(args):
         # sharded over the mesh (AdaptedSampler.sample_batched)
         from diffusion_models_dev_project_tpu.parallel.mesh import make_mesh
 
+        from diffusion_models_dev_project_tpu.sampling.adaptation import init_lora
+
         n_dev = jax.device_count()
         mesh = make_mesh() if n_dev > 1 and shard_n % n_dev == 0 else None
         if mesh is not None:
             print(f"sharding {shard_n}-image chunks over {n_dev} devices")
+        elif n_dev > 1:
+            print(f"WARNING: --shard_images {shard_n} is not divisible by "
+                  f"the {n_dev} visible devices — running the batched vmap "
+                  "on a SINGLE device; pick a multiple of the device count "
+                  "for multi-chip eval")
         items = [prepare(i, s)
                  for i, s in enumerate(islice(iter(dataset), num_images))]
         sampler = make_sampler(items[0][1], None, lora_seed=0)
@@ -161,7 +168,14 @@ def coordinator(args):
             keys = jnp.stack([jax.random.fold_in(k, 1)
                               for k, _, _, _ in chunk_p])
             obs = jnp.stack([o for _, o, _, _ in chunk_p])
-            recon = sampler.sample_batched(keys, obs, mesh=mesh)
+            # per-image LoRA inits (seed = global image index), matching the
+            # serial path's fresh re-init per image
+            lora_stack = jax.tree_util.tree_map(
+                lambda *ls: jnp.stack(ls),
+                *[init_lora(model, model.cfg, seed=c0 + j)
+                  for j in range(len(chunk_p))])
+            recon = sampler.sample_batched(keys, obs, mesh=mesh,
+                                           lora_stack=lora_stack)
             for j, (_, _, ground_truth, _) in enumerate(chunk):
                 finish(c0 + j, recon[j, 0], ground_truth)
     else:

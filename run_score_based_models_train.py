@@ -40,6 +40,15 @@ parser.add_argument("--val_num_steps", default=None,
 parser.add_argument("--save_every_n_epoch", default=None,
                     help="override config.training.save_model_every_n_epoch")
 
+parser.add_argument("--ema_decay", default=None,
+                    help="override config.training.ema_decay (extension; a "
+                    "longer horizon, e.g. 0.9999, smooths the top "
+                    "sigma-decade fluctuation measured in BENCH.md)")
+parser.add_argument("--loss_sigma_alpha", default=None,
+                    help="sigma-stratified loss reweighting strength "
+                    "(losses.score_matching_loss); 0/None = exact reference "
+                    "loss")
+
 parser.add_argument("--debug_nans", action="store_true",
                     help="enable jax_debug_nans (fail at the first NaN)")
 
@@ -151,7 +160,10 @@ def coordinator(args):
         steps_per_epoch=steps_per_epoch,
         lr=float(config.training.lr),
         grad_clip=float(args.grad_clip) if args.grad_clip else None,
-        ema_decay=config.training.ema_decay,
+        ema_decay=(float(args.ema_decay) if args.ema_decay is not None
+                   else config.training.ema_decay),
+        loss_kwargs=(dict(sigma_alpha=float(args.loss_sigma_alpha))
+                     if args.loss_sigma_alpha else None),
         ema_warm_start_steps=config.training.ema_warm_start_steps,
         log_freq=config.training.log_freq,
         save_model_every_n_epoch=config.training.save_model_every_n_epoch,

@@ -85,7 +85,10 @@ def main():
                      (0.0, 0.25, 0.5, 0.75, 0.9, 0.95, 1.0)]
                 print("trace PSNR @ {0,25,50,75,90,95,100}% of steps:",
                       " ".join(f"{v:.1f}" for v in q), flush=True)
-                np.save("trace_psnr.npy", tr)
+                import os
+
+                os.makedirs("outputs", exist_ok=True)
+                np.save("outputs/trace_psnr.npy", tr)
         else:
             sampler.observation = obs
             sampler.rhs = trafo.adjoint(obs)
