@@ -59,13 +59,35 @@ def _is_adapt_bias(path: Tuple[str, ...]) -> bool:
     return path[-1] == "bias" and "emb" not in path[:-1]
 
 
-def split_adapt_params(params: Dict) -> Tuple[Dict, Dict]:
-    """Split a Flax param tree into (trainable biases, frozen rest), both as
-    flat {path: array} dicts."""
+def _is_adapt_param(path: Tuple[str, ...], impl: str) -> bool:
+    """Trainable-set predicate per adaptation strategy
+    (reference `_score_model_adpt`, adaptation.py:14-52):
+
+    - 'full'    — every parameter (adaptation.py:23-25),
+    - 'decoder' — `score.out` + `score.output_blocks` minus emb_layers
+      (adaptation.py:26-31); in our module tree those are the `out_*`
+      blocks plus `final_norm`/`final_conv`,
+    - 'lora'    — non-emb biases (the LoRA collection itself is carried
+      separately, adaptation.py:32-43).
+    """
+    if impl == "full":
+        return True
+    if impl == "decoder":
+        in_decoder = path[0].startswith("out_") or path[0] in ("final_norm",
+                                                               "final_conv")
+        return in_decoder and "emb" not in path[:-1]
+    if impl == "lora":
+        return _is_adapt_bias(path)
+    raise NotImplementedError(impl)  # 'dif-fit' raises in the reference too
+
+
+def split_adapt_params(params: Dict, impl: str = "lora") -> Tuple[Dict, Dict]:
+    """Split a Flax param tree into (trainable, frozen rest) for the given
+    adaptation strategy, both as flat {path: array} dicts."""
     flat = traverse_util.flatten_dict(params)
-    biases = {k: v for k, v in flat.items() if _is_adapt_bias(k)}
-    frozen = {k: v for k, v in flat.items() if not _is_adapt_bias(k)}
-    return biases, frozen
+    train = {k: v for k, v in flat.items() if _is_adapt_param(k, impl)}
+    frozen = {k: v for k, v in flat.items() if not _is_adapt_param(k, impl)}
+    return train, frozen
 
 
 def merge_adapt_params(frozen_flat: Dict, biases_flat: Dict) -> Dict:
@@ -107,6 +129,7 @@ class AdaptSpec:
     dc_type: str = "cg"            # 'cg' | 'gd' | 'none'
     add_cg: bool = False
     cg_iter: int = 1
+    impl: str = "lora"             # 'lora' | 'full' | 'decoder'
 
 
 class AdaptedSampler:
@@ -136,8 +159,15 @@ class AdaptedSampler:
     # --------------------------------------------------------------- score
     def _score(self, frozen_flat, trainable, x, t, scale):
         merged = merge_adapt_params(frozen_flat, trainable["bias"])
-        return self.model.apply({"params": merged, "lora": trainable["lora"]},
-                                x, t, lora_scale=scale)
+        if "lora" in trainable:
+            return self.model.apply(
+                {"params": merged, "lora": trainable["lora"]}, x, t,
+                lora_scale=scale)
+        # full/decoder strategies carry no LoRA collection; the reference's
+        # `_tune_lora_scale(0)` prior-direction toggle is a no-op there
+        # (`_has_lora` is falsy, samplers/utils.py:323-328), so `scale` is
+        # ignored and the DDIM direction uses the adapted score.
+        return self.model.apply({"params": merged}, x, t)
 
     def _data_consistency(self, trafo, rhs, xhat0, dc_type: str, n_iter: int):
         """xhat0 -> data-consistent xhat (samplers/utils.py:244-252,310-319)."""
@@ -241,8 +271,10 @@ class AdaptedSampler:
         return run
 
     def sample(self, key: jax.Array, return_trace: bool = False):
-        biases, frozen0 = split_adapt_params(self.params)
-        trainable0 = {"lora": self.lora, "bias": biases}
+        biases, frozen0 = split_adapt_params(self.params, self.adapt.impl)
+        trainable0 = {"bias": biases}
+        if self.lora is not None:
+            trainable0["lora"] = self.lora
         env = (frozen0, self.ray_trafo, self.rhs, self.observation)
         if self._compiled is None:
             self._compiled = jax.jit(self._build_run(self.ground_truth))
@@ -270,11 +302,13 @@ class AdaptedSampler:
             counterpart of the serial path's per-image re-init.  Without it
             every image starts from the sampler's single shared LoRA init.
         """
-        biases, frozen0 = split_adapt_params(self.params)
+        biases, frozen0 = split_adapt_params(self.params, self.adapt.impl)
         stacked = lora_stack is not None
-        trainable0 = {"lora": lora_stack if stacked else self.lora,
-                      "bias": biases}
-        tr_axes = {"lora": 0 if stacked else None, "bias": None}
+        trainable0 = {"bias": biases}
+        tr_axes = {"bias": None}
+        if self.lora is not None or stacked:
+            trainable0["lora"] = lora_stack if stacked else self.lora
+            tr_axes["lora"] = 0 if stacked else None
         rhs = jax.vmap(self.ray_trafo.adjoint)(observations)
         cache_key = (stacked, None if mesh is None
                      else tuple(sorted(mesh.shape.items())))
@@ -296,8 +330,9 @@ class AdaptedSampler:
 
                 n = observations.shape[0]
                 assert n % mesh.shape["data"] == 0, (n, dict(mesh.shape))
-                tr_specs = {"lora": P("data") if stacked else P(),
-                            "bias": P()}
+                tr_specs = {"bias": P()}
+                if "lora" in trainable0:
+                    tr_specs["lora"] = P("data") if stacked else P()
                 self._compiled_batched = (cache_key, jax.jit(shard_map(
                     run_b, mesh=mesh,
                     in_specs=(P("data"), tr_specs,
@@ -319,12 +354,15 @@ def get_standard_adapted_sampler(
     add_cg: bool = False, dc_type: str = "cg", cg_iter: int = 1,
     early_stopping_pct: Optional[float] = None, travel_length: int = 1,
     travel_repeat: int = 1, ground_truth=None, lora_seed: int = 0,
+    adaptation: str = "lora",
 ) -> AdaptedSampler:
     """Factory mirroring reference `get_standard_adapted_sampler`
-    (exp_utils.py:225-295).  `model` must be built with
-    `lora_rank=lora_rank` in its UNetConfig; a fresh LoRA tree is
+    (exp_utils.py:225-295).  For `adaptation='lora'` the `model` must be
+    built with `lora_rank=lora_rank` in its UNetConfig; a fresh LoRA tree is
     initialized here, so each per-image sampler starts unadapted (replacing
     the reference's model reload per image, run_adapted_sampling.py:102-105).
+    For 'full'/'decoder' (reference adaptation.py:23-31) the model carries
+    no LoRA collection and the respective parameter subset is trainable.
     """
     if method.lower() != "dds":
         raise NotImplementedError(method)    # exp_utils.py:269-270
@@ -332,8 +370,13 @@ def get_standard_adapted_sampler(
         h, w = ray_trafo.model_im_shape
         im_shape = (h, w, 1)
     cfg = model.cfg
-    assert cfg.lora_rank == int(lora_rank), (cfg.lora_rank, lora_rank)
-    assert tuple(cfg.lora_include_blocks) == tuple(lora_include_blocks)
+    if adaptation == "lora":
+        assert cfg.lora_rank == int(lora_rank), (cfg.lora_rank, lora_rank)
+        assert tuple(cfg.lora_include_blocks) == tuple(lora_include_blocks)
+    else:
+        assert not cfg.lora_rank, (
+            f"adaptation='{adaptation}' expects a model without LoRA "
+            f"(lora_rank=0), got {cfg.lora_rank}")
     spec = SamplerSpec(
         method="adapted_dds", num_steps=int(num_steps), batch_size=batch_size,
         im_shape=tuple(im_shape), eps=float(eps), eta=float(eta),
@@ -344,7 +387,9 @@ def get_standard_adapted_sampler(
     adapt = AdaptSpec(
         num_optim_step=int(num_optim_step), adapt_freq=int(adapt_freq),
         lr=float(lr), tv_penalty=float(tv_penalty), gamma=float(gamma),
-        dc_type=dc_type, add_cg=bool(add_cg), cg_iter=int(cg_iter))
-    lora = init_lora(model, cfg, seed=lora_seed)
+        dc_type=dc_type, add_cg=bool(add_cg), cg_iter=int(cg_iter),
+        impl=adaptation)
+    lora = (init_lora(model, cfg, seed=lora_seed)
+            if adaptation == "lora" else None)
     return AdaptedSampler(model, params, lora, sde, spec, adapt, ray_trafo,
                           observation, ground_truth=ground_truth)

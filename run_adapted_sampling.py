@@ -24,7 +24,8 @@ parser.add_argument("--num_steps", default=50)
 parser.add_argument("--tv_penalty", default=1e-6)
 parser.add_argument("--eta", default=0.85)
 parser.add_argument("--sde", default="vesde", choices=["vpsde", "vesde", "ddpm"])
-parser.add_argument("--adaptation", default="lora", choices=["lora"])
+parser.add_argument("--adaptation", default="lora",
+                    choices=["lora", "full", "decoder"])
 parser.add_argument("--num_optim_step", default=10)
 parser.add_argument("--adapt_freq", default=1)
 parser.add_argument("--lora_include_blocks",
@@ -95,10 +96,13 @@ def coordinator(args):
         dataconfig.data.stddev = float(args.stddev)
 
     sde = F.get_standard_sde(config)
+    use_lora = args.adaptation == "lora"
     model, params, _ = F.get_standard_score(
         config, sde, use_ema=args.ema, load_model=args.load_path is not None,
-        ckpt_path=args.load_path, lora_rank=int(args.lora_rank),
-        lora_include_blocks=tuple(args.lora_include_blocks))
+        ckpt_path=args.load_path,
+        lora_rank=int(args.lora_rank) if use_lora else 0,
+        lora_include_blocks=(tuple(args.lora_include_blocks)
+                             if use_lora else None))
     ray_trafo = F.get_standard_ray_trafo(dataconfig)
     dataset = F.get_standard_dataset(dataconfig, ray_trafo)
 
@@ -139,7 +143,8 @@ def coordinator(args):
             add_cg=bool(args.add_cg), dc_type=args.dc_type,
             cg_iter=int(args.cg_iter),
             early_stopping_pct=float(args.early_stopping_pct),
-            ground_truth=ground_truth, lora_seed=lora_seed)
+            ground_truth=ground_truth, lora_seed=lora_seed,
+            adaptation=args.adaptation)
 
     _psnr, _ssim = [], []
     shard_n = int(args.shard_images)
@@ -168,9 +173,10 @@ def coordinator(args):
             keys = jnp.stack([jax.random.fold_in(k, 1)
                               for k, _, _, _ in chunk_p])
             obs = jnp.stack([o for _, o, _, _ in chunk_p])
-            # per-image LoRA inits (seed = global image index), matching the
-            # serial path's fresh re-init per image
-            lora_stack = jax.tree_util.tree_map(
+            # per-image LoRA inits (seed = global image index), matching
+            # the serial path's fresh re-init per image; full/decoder carry
+            # no LoRA — their trainable subset resets from `params` anyway
+            lora_stack = None if not use_lora else jax.tree_util.tree_map(
                 lambda *ls: jnp.stack(ls),
                 *[init_lora(model, model.cfg, seed=c0 + j)
                   for j in range(len(chunk_p))])
@@ -186,12 +192,13 @@ def coordinator(args):
             if sampler is None:
                 sampler = make_sampler(observation, ground_truth, lora_seed=i)
             else:
-                # fresh LoRA per image = the reference's model re-load
-                from diffusion_models_dev_project_tpu.sampling.adaptation import init_lora
-
                 sampler.observation = observation
                 sampler.rhs = ray_trafo.adjoint(observation)
-                sampler.lora = init_lora(model, model.cfg, seed=i)
+                if use_lora:
+                    # fresh LoRA per image = the reference's model re-load
+                    from diffusion_models_dev_project_tpu.sampling.adaptation import init_lora
+
+                    sampler.lora = init_lora(model, model.cfg, seed=i)
 
             recon, _ = sampler.sample(jax.random.fold_in(key, 1))
             finish(i, recon[0], ground_truth)

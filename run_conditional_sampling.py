@@ -122,7 +122,15 @@ def coordinator(args):
         return key, observation, ground_truth, filtbackproj
 
     def finish(i, recon_row, ground_truth):
-        r = np.asarray(jnp.clip(recon_row, 0)[..., 0])
+        raw = np.asarray(recon_row[..., 0])
+        # divergence guard: a 1000-step scan can silently blow up; make a
+        # failed run self-describing in the report instead of just a low mean
+        if not np.isfinite(raw).all() or np.abs(raw).max() > 1e3:
+            _diverged.append(i)
+            print(f"WARNING: sample {i} diverged "
+                  f"(finite={np.isfinite(raw).all()}, "
+                  f"|x|max={np.abs(raw[np.isfinite(raw)]).max(initial=0):.3g})")
+        r = np.nan_to_num(np.clip(raw, 0, None))
         g = np.asarray(ground_truth[0, ..., 0])
         save_recon_info(save_root / f"recon_{i}_info.npz", r, g)
         save_image_png(save_root / f"recon_{i}.png", r)
@@ -131,7 +139,7 @@ def coordinator(args):
         _psnr.append(psnr)
         _ssim.append(ssim)
 
-    _psnr, _ssim = [], []
+    _psnr, _ssim, _diverged = [], [], []
     shard_n = int(args.shard_images)
     if shard_n > 0:
         _sample_sharded(args, F, jax, jnp, ray_trafo, sde, model, params,
@@ -144,6 +152,11 @@ def coordinator(args):
     report.update({k: str(v) for k, v in vars(args).items()})
     report["PSNR"] = float(np.mean(_psnr))
     report["SSIM"] = float(np.mean(_ssim))
+    # provenance: sharded multi-image runs are statistically (not bitwise)
+    # equivalent to the serial reference protocol (one chain key per chunk)
+    report["sampling_mode"] = (f"sharded({shard_n})" if shard_n > 0
+                               else "serial")
+    report["diverged_images"] = list(map(int, _diverged))
     write_report(save_root / "report.yaml", report)
     print(json.dumps({"PSNR": report["PSNR"], "SSIM": report["SSIM"]}))
 

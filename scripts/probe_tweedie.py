@@ -21,6 +21,8 @@ parser.add_argument("--num_channels", default=128, type=int)
 parser.add_argument("--dtype", default="bfloat16")
 parser.add_argument("--image", default=0, type=int)
 parser.add_argument("--seed", default=7, type=int)
+parser.add_argument("--raw", action="store_true",
+                    help="probe the raw training params instead of the EMA")
 
 
 def main():
@@ -39,7 +41,8 @@ def main():
     config.ckpt_path = args.ckpt
 
     sde = F.get_standard_sde(config)
-    model, params, _ = F.get_standard_score(config, sde, use_ema=True,
+    model, params, _ = F.get_standard_score(config, sde,
+                                            use_ema=not args.raw,
                                             load_model=True)
     gt = None
     for i, img in enumerate(F.get_standard_dataset(config)):
@@ -55,7 +58,7 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
     smin, smax = config.sde.sigma_min, config.sde.sigma_max
-    print(f"ckpt={args.ckpt}")
+    print(f"ckpt={args.ckpt} ({'raw' if args.raw else 'ema'})")
     for sig in [float(v) for v in args.sigmas.split(",")]:
         t = jnp.full((1,), np.log(sig / smin) / np.log(smax / smin))
         z = jax.random.normal(jax.random.fold_in(key, int(sig * 10)), gt.shape)

@@ -1,11 +1,18 @@
 #!/bin/bash
-# Restarts the flagship training run if its JSONL log goes stale (the TPU
-# relay occasionally wedges mid-step and never recovers; exact orbax resume
-# makes a restart cheap).  Touch /tmp/train_pause to suspend the watchdog
+# Restarts a training run if its JSONL log goes stale (the TPU relay
+# occasionally wedges mid-step and never recovers; exact orbax resume makes
+# a restart cheap).  Usage:
+#
+#   scripts/train_watchdog.sh <run_dir> <cmd_file> [stale_seconds]
+#
+# <cmd_file> holds the FULL training command to (re)launch (one line, will
+# be run with bash -c).  Touch /tmp/train_pause to suspend the watchdog
 # during intentional eval pauses.  Kills ONLY the pid in /tmp/train.pid.
-LOG=/root/repo/outputs/flagship_r2/train_log.jsonl
-STALE=720          # seconds without a log write = wedged
-CMD_LOG=/root/repo/outputs/flagship_r2_train.log
+RUN_DIR=${1:?run_dir}
+CMD_FILE=${2:?cmd_file}
+STALE=${3:-600}
+LOG="$RUN_DIR/train_log.jsonl"
+CMD_LOG="$RUN_DIR/../$(basename "$RUN_DIR")_train.log"
 
 while true; do
     sleep 120
@@ -19,16 +26,17 @@ while true; do
         [ -n "$pid" ] && kill "$pid" 2>/dev/null
         sleep 10
         [ -n "$pid" ] && kill -9 "$pid" 2>/dev/null
-        sleep 5
-        rm -rf /root/repo/outputs/flagship_r2/ckpts/*.orbax-checkpoint-tmp
-        cd /root/repo && PYTHONPATH=/root/repo:$PYTHONPATH nohup python \
-            run_score_based_models_train.py --sde vesde --batch_size 24 \
-            --num_channels 128 --dtype bfloat16 --lr 2e-4 --grad_clip 1.0 \
-            --epochs 200 --steps_per_epoch 1000 --run_dir outputs/flagship_r2 \
-            --sample_freq 25 --val_num_steps 100 --save_every_n_epoch 1 \
+        # give the relay time to drop the dead session (a fresh client that
+        # connects too early wedges in backend init — observed round 3)
+        sleep 90
+        rm -rf "$RUN_DIR"/ckpts/*.orbax-checkpoint-tmp
+        # `exec` so /tmp/train.pid is the python process itself, not a
+        # bash wrapper (killing only a wrapper orphans the trainer and a
+        # relaunch would deadlock the one-process TPU relay)
+        cd /root/repo && PYTHONPATH=/root/repo:$PYTHONPATH nohup bash -c "exec $(cat "$CMD_FILE")" \
             >> "$CMD_LOG" 2>&1 &
         echo $! > /tmp/train.pid
         echo "$(date -u +%T) watchdog: relaunched as $(cat /tmp/train.pid)" >> /tmp/watchdog.log
-        sleep 300       # grace for compile+resume
+        sleep 420       # grace for restore+compile
     fi
 done

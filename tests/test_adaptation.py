@@ -206,3 +206,64 @@ def test_adapt_freq_gating():
     x1, x2, x0 = run(1), run(2), run(1, num_optim_step=0)
     assert np.abs(x1 - x2).max() > 1e-7
     assert np.abs(x2 - x0).max() > 1e-7
+
+
+def test_full_decoder_split_rules():
+    """'full' marks everything trainable; 'decoder' marks exactly the
+    output_blocks + final norm/conv minus emb projections
+    (reference _score_model_adpt, adaptation.py:23-31)."""
+    base, _ = _models()
+    params, _ = _init_all(UNetModel(UNetConfig(**TINY, lora_rank=4)))
+    flat = traverse_util.flatten_dict(params)
+
+    train_f, frozen_f = split_adapt_params(params, impl="full")
+    assert len(train_f) == len(flat) and not frozen_f
+
+    train_d, frozen_d = split_adapt_params(params, impl="decoder")
+    assert train_d and frozen_d
+    for k in train_d:
+        assert k[0].startswith("out_") or k[0] in ("final_norm", "final_conv")
+        assert "emb" not in k[:-1]
+    # encoder/middle/time-embedding params stay frozen
+    assert any(k[0].startswith("in_") for k in frozen_d)
+    assert any(k[0].startswith("mid_") for k in frozen_d)
+    assert any(k[0].startswith("time_dense") for k in frozen_d)
+    # decoder emb projections stay frozen too
+    assert any(k[0].startswith("out_") and "emb" in k[:-1] for k in frozen_d)
+    merged = merge_adapt_params(frozen_d, train_d)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, merged, params)
+
+
+@pytest.mark.parametrize("impl", ["full", "decoder"])
+def test_full_decoder_adaptation_end_to_end(impl):
+    """full/decoder strategies run compiled end-to-end (no LoRA collection)
+    and improve the data fit like the LoRA path does."""
+    base, _ = _models()
+    x, t = jnp.zeros((1, 16, 16, 1)), jnp.zeros((1,))
+    variables = base.init({"params": jax.random.PRNGKey(0)}, x, t)
+    rng = np.random.default_rng(7)
+    params = jax.tree_util.tree_map(
+        lambda v: (jnp.asarray(rng.normal(0, 0.02, v.shape).astype(np.float32))
+                   if not np.asarray(v).any() else v),
+        variables["params"])
+    sde = VESDE(sigma_min=0.01, sigma_max=5.0)
+    trafo = make_parallel_beam_trafo((16, 16), 10)
+    gt = np.zeros((1, 16, 16, 1), np.float32)
+    gt[0, 5:11, 5:11, 0] = 1.0
+    obs = simulate(jax.random.PRNGKey(3), jnp.asarray(gt), trafo, 0.01)
+
+    def build(num_optim_step):
+        return get_standard_adapted_sampler(
+            "dds", base, params, sde, trafo, obs, num_steps=4,
+            im_shape=(16, 16, 1), num_optim_step=num_optim_step,
+            adapt_freq=1, lr=1e-2, dc_type="cg", cg_iter=2, add_cg=True,
+            adaptation=impl)
+
+    x_unadapted, _ = build(0).sample(jax.random.PRNGKey(0))
+    x_adapted, _ = build(6).sample(jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(x_adapted)).all()
+
+    def datafit(x):
+        return float(jnp.mean((trafo.apply(x) - obs) ** 2))
+
+    assert datafit(x_adapted) < datafit(x_unadapted)
