@@ -1,0 +1,15 @@
+#!/bin/bash
+# Resume the production training run after an eval pause: relaunch the
+# command in /tmp/train_cmd.txt (exec'd so /tmp/train.pid is the python
+# process) and re-enable the watchdog.
+set -e
+CMD_FILE=${1:-/tmp/train_cmd.txt}
+CMD=$(cat "$CMD_FILE")
+RUN_DIR=$(echo "$CMD" | sed -n 's/.*--run_dir \([^ ]*\).*/\1/p')
+CMD_LOG="/root/repo/outputs/$(basename "${RUN_DIR:-run}")_train.log"
+rm -rf /root/repo/"$RUN_DIR"/ckpts/*.orbax-checkpoint-tmp 2>/dev/null || true
+cd /root/repo && PYTHONPATH=/root/repo:$PYTHONPATH nohup bash -c "exec $CMD" \
+    >> "$CMD_LOG" 2>&1 &
+echo $! > /tmp/train.pid
+rm -f /tmp/train_pause
+echo "trainer relaunched as $(cat /tmp/train.pid), watchdog re-enabled"
