@@ -62,6 +62,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", default=None,
                    help="orbax TrainState dir; bench with trained EMA weights")
+    p.add_argument("--cg_precision", default=None,
+                   choices=[None, "default", "high", "highest"],
+                   help="matmul precision of the CG data-consistency applies")
     args = p.parse_args()
 
     trained_params = None
@@ -91,7 +94,7 @@ def main():
         "dds", None, sde, trafo, observation, num_steps=NUM_STEPS,
         im_shape=(256, 256, 1), gamma=0.01, eta=0.15, cg_iter=5,
         score_apply=lambda pp, x, t: model.apply({"params": pp}, x, t),
-        score_params=params)
+        score_params=params, cg_precision=args.cg_precision)
 
     # AOT-compile ONCE; the executable serves warmup, timing, and the MFU
     # cost analysis (a second trace+compile of the 100-step scan costs

@@ -70,7 +70,11 @@ def _dft_matrices(P: int):
             jnp.asarray(Br, jnp.float32), jnp.asarray(Bi, jnp.float32))
 
 
-_PREC = jax.lax.Precision.HIGHEST
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,   # bf16 passes (fastest)
+    "high": jax.lax.Precision.HIGH,         # bf16x3 (~fp32 accuracy, ~2x HIGHEST)
+    "highest": jax.lax.Precision.HIGHEST,   # full fp32 (6-pass)
+}
 
 
 def _shear_phases(phis_g: jnp.ndarray, P: int):
@@ -123,6 +127,11 @@ class FFTRayTransform:
     fbp_scale: float = 1.0
     fbp_filter: str = "ramp"
     resize_shape: Optional[Tuple[int, int]] = None
+    # matmul precision of the shear/DFT pipeline.  "highest" = full fp32
+    # (reference-parity default); "high" = bf16x3 (~fp32 accuracy, ~2x the
+    # MXU throughput) — use `dataclasses.replace(trafo, precision="high")`
+    # inside iterative solvers where the operator is applied many times.
+    precision: str = "highest"
 
     # --- pytree ----------------------------------------------------------
     def tree_flatten(self):
@@ -130,20 +139,21 @@ class FFTRayTransform:
         aux = (self.im_shape, self.obs_shape, self.canvas, self.quad_groups,
                None if self.angles is None else self.angles.tobytes(),
                None if self.angles is None else self.angles.shape,
-               self.fbp_scale, self.fbp_filter, self.resize_shape)
+               self.fbp_scale, self.fbp_filter, self.resize_shape,
+               self.precision)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         (im_shape, obs_shape, canvas, quad_groups, ang_b, ang_shape,
-         fbp_scale, fbp_filter, resize_shape) = aux
+         fbp_scale, fbp_filter, resize_shape, precision) = aux
         angles = None if ang_b is None else np.frombuffer(ang_b).reshape(ang_shape)
         det_matrix, phis, dft, shear = leaves
         return cls(det_matrix=det_matrix, phis=phis, dft=dft, shear=shear,
                    im_shape=im_shape, obs_shape=obs_shape,
                    canvas=canvas, quad_groups=quad_groups, angles=angles,
                    fbp_scale=fbp_scale, fbp_filter=fbp_filter,
-                   resize_shape=resize_shape)
+                   resize_shape=resize_shape, precision=precision)
 
     @property
     def model_im_shape(self) -> Tuple[int, int]:
@@ -153,6 +163,7 @@ class FFTRayTransform:
     def _apply_flat(self, x: jnp.ndarray) -> jnp.ndarray:
         """(N, H, W) -> (N, A, D)."""
         P = self.canvas
+        _PREC = _PRECISIONS[self.precision]
         h, w = self.im_shape
         oy, ox = (P - h) // 2, (P - w) // 2
         base = jnp.zeros((x.shape[0], P, P), x.dtype)

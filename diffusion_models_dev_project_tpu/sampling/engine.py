@@ -58,6 +58,12 @@ class SamplerSpec:
     travel_length: int = 1
     travel_repeat: int = 1
     early_stopping_pct: Optional[float] = None
+    # matmul precision for the CG data-consistency applies only (the rhs and
+    # observation simulation keep the operator's own precision).  None keeps
+    # the operator default ("highest" = full fp32); "high" (bf16x3) is
+    # ~fp32-accurate at ~2x the MXU throughput.  Only operators exposing a
+    # `precision` field (the FFT-shear projector) honor it.
+    cg_precision: Optional[str] = None
 
 
 def _time_arrays(sde: SDE, spec: SamplerSpec):
@@ -130,6 +136,8 @@ class DiffusionSampler:
                                              self._step_size, nloglik=None)
             return P.wrapper_ddim_step(score_fn, sde, x, key, t, t_prev)
         if spec.method == "dds":
+            if spec.cg_precision and hasattr(trafo, "precision"):
+                trafo = dataclasses.replace(trafo, precision=spec.cg_precision)
             return P.dds_step(score_fn, sde, x, key, t, t_prev, rhs,
                               trafo, spec.gamma, spec.eta, spec.cg_iter,
                               spec.use_simplified_eqn)
@@ -265,7 +273,8 @@ def get_standard_sampler(method: str, score_fn, sde, ray_trafo, observation,
                          ground_truth=None, filtbackproj=None,
                          score_apply=None, score_params=None,
                          add_corrector_step: bool = False,
-                         corrector_snr: float = 0.16) -> DiffusionSampler:
+                         corrector_snr: float = 0.16,
+                         cg_precision=None) -> DiffusionSampler:
     """Factory mirroring reference `get_standard_sampler`
     (exp_utils.py:123-223) with the same defaults and flags."""
     import math
@@ -281,7 +290,7 @@ def get_standard_sampler(method: str, score_fn, sde, ray_trafo, observation,
         travel_length=travel_length, travel_repeat=travel_repeat,
         early_stopping_pct=early_stopping_pct, use_simplified_eqn=True,
         corrector_steps=1 if add_corrector_step else 0,
-        corrector_snr=corrector_snr)
+        corrector_snr=corrector_snr, cg_precision=cg_precision)
     return DiffusionSampler(score_fn, sde, spec, ray_trafo, observation,
                             ground_truth=ground_truth, filtbackproj=filtbackproj,
                             score_apply=score_apply, score_params=score_params)

@@ -31,6 +31,10 @@ parser.add_argument("--pct_chain_elapsed", default=0,
                     help="start the chain from noised FBP")
 parser.add_argument("--sde", default="vesde", choices=["vpsde", "vesde", "ddpm"])
 parser.add_argument("--cg_iter", default=5)
+parser.add_argument("--cg_precision", default=None,
+                    choices=[None, "default", "high", "highest"],
+                    help="matmul precision of the CG data-consistency "
+                    "applies (extension; None = operator default fp32)")
 parser.add_argument("--load_path", help="path to a model checkpoint "
                     "(.pt reference checkpoint or orbax dir)")
 parser.add_argument("--stddev", default=None, help="noise level override")
@@ -175,6 +179,7 @@ def _sample_serial(args, F, jax, jnp, ray_trafo, sde, model, params, score_fn,
                 im_shape=(*ray_trafo.model_im_shape, 1),
                 penalty=float(args.penalty), gamma=float(args.gamma),
                 eta=float(args.eta), cg_iter=int(args.cg_iter),
+                cg_precision=args.cg_precision,
                 pct_chain_elapsed=float(args.pct_chain_elapsed),
                 early_stopping_pct=(None if float(args.early_stopping_pct) == 1.0
                                     else float(args.early_stopping_pct)),
@@ -223,6 +228,7 @@ def _sample_sharded(args, F, jax, jnp, ray_trafo, sde, model, params, score_fn,
                 im_shape=(*ray_trafo.model_im_shape, 1),
                 penalty=float(args.penalty), gamma=float(args.gamma),
                 eta=float(args.eta), cg_iter=int(args.cg_iter),
+                cg_precision=args.cg_precision,
                 pct_chain_elapsed=float(args.pct_chain_elapsed),
                 early_stopping_pct=(None if float(args.early_stopping_pct) == 1.0
                                     else float(args.early_stopping_pct)),

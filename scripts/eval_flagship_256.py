@@ -36,6 +36,8 @@ parser.add_argument("--eta", default=0.15, type=float)
 parser.add_argument("--gamma", default=0.01, type=float)
 parser.add_argument("--penalty", default=1.0, type=float)
 parser.add_argument("--cg_iter", default=5, type=int)
+parser.add_argument("--cg_precision", default=None,
+                    choices=[None, "default", "high", "highest"])
 parser.add_argument("--save_npz", default=None,
                     help="save per-image recon/gt stacks to this .npz")
 parser.add_argument("--trace", action="store_true",
@@ -76,7 +78,7 @@ def main():
                 early_stopping_pct=args.early_stopping_pct,
                 ground_truth=(gt if args.trace else None),
                 score_apply=lambda p, x, t: model.apply({"params": p}, x, t),
-                score_params=params)
+                score_params=params, cg_precision=args.cg_precision)
             if args.trace:
                 _, tr = sampler.sample(jax.random.fold_in(key, 1),
                                        return_trace=True)

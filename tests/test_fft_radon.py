@@ -64,3 +64,21 @@ def test_fft_jits_and_grads():
     want = 2 * fft.adjoint(fft.apply(x))
     np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_precision_field_roundtrip():
+    """The `precision` knob survives pytree flatten/unflatten and jit, and
+    stays numerically identical on CPU (precision only changes TPU MXU
+    pass count)."""
+    import dataclasses
+
+    fft = make_parallel_beam_trafo((32, 32), 7, impl="fft")
+    fast = dataclasses.replace(fft, precision="high")
+    leaves, treedef = jax.tree_util.tree_flatten(fast)
+    rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert rebuilt.precision == "high"
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(1, 32, 32, 1)).astype(np.float32))
+    a = np.asarray(jax.jit(lambda tr, xx: tr.apply(xx))(fast, x))
+    b = np.asarray(fft.apply(x))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
