@@ -349,7 +349,15 @@ def get_walnut_2d_ray_trafo(
 
         from .ray_trafo import DenseRayTransform, densify_model_grid
 
-        dense = densify_model_grid(matrix, im_shape, new_shape)
+        # the model-grid densify (A · R_up, ~2 GB at protocol scale) costs
+        # minutes on a 1-core host — cache it beside the .mat
+        dense_file = mat_file.replace(
+            ".mat", f"_dense_{new_shape[0]}x{new_shape[1]}.npy")
+        if os.path.exists(dense_file):
+            dense = np.load(dense_file, mmap_mode=None)
+        else:
+            dense = densify_model_grid(matrix, im_shape, new_shape)
+            np.save(dense_file, dense)
         rt = DenseRayTransform(matrix=jnp.asarray(dense), im_shape=im_shape,
                                obs_shape=obs_shape, resize_shape=new_shape,
                                custom_fbp=custom_fbp)
