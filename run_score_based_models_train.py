@@ -25,6 +25,12 @@ parser.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
 parser.add_argument("--grad_clip", default=None,
                     help="global-norm gradient clipping (extension; the "
                     "sigma-weighted DSM loss has heavy-tailed gradients)")
+parser.add_argument("--init_ckpt", default=None,
+                    help="warm-start parameters (and the EMA shadow) from a "
+                    "checkpoint (.npz msgpack / .pt / orbax dir) instead of "
+                    "random init; optimizer state starts fresh. Used to "
+                    "continue a run whose orbax state is gone from its "
+                    "shipped EMA weights")
 parser.add_argument("--run_dir", default=None,
                     help="reuse this run directory instead of creating a new "
                     "version_{N} dir; training resumes exactly from its "
@@ -89,6 +95,14 @@ def coordinator(args):
 
     sde = F.get_standard_sde(config)
     model, params, _ = F.get_standard_score(config, sde, load_model=False)
+    if args.init_ckpt:
+        # warm start: replace the random init with stored weights (fp16
+        # shipping checkpoints load as fp32 masters, factory._load_params);
+        # Adam state and the step counter start fresh, and the trainer's
+        # EMA warm start (reference trainer.py:52-55) seeds the shadow
+        # from these params for the first ema_warm_start_steps.
+        params = F._load_params(str(args.init_ckpt), config.model, use_ema=False)
+        print(f"warm-started params from {args.init_ckpt}")
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(params))
     print("Number of parameters:", n_params)

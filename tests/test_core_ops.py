@@ -187,3 +187,31 @@ def test_train_step_decreases_loss_both_families():
         # EMA warm start tracked then diverged from params
         assert np.isfinite(
             np.asarray(jax.tree_util.tree_leaves(state.ema.shadow)[0])).all()
+
+
+def test_score_matching_loss_sigma_stratified():
+    """sigma_alpha=0 is the exact reference loss; sigma_alpha>0 multiplies
+    each per-sample term by 1 + alpha*(std/std_max)^2, so the reweighted
+    loss is bounded by [1, 1+alpha] x the plain loss and increases
+    monotonically with alpha (losses.score_matching_loss)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_models_dev_project_tpu.ops.sde import VESDE
+    from diffusion_models_dev_project_tpu.training.losses import (
+        score_matching_loss)
+
+    sde = VESDE(sigma_min=0.01, sigma_max=10.0)
+    model = lambda x, t: jnp.zeros_like(x)
+    batch = jax.random.normal(jax.random.PRNGKey(3), (32, 8, 8, 1))
+    key = jax.random.PRNGKey(7)
+    plain = float(score_matching_loss(key, batch, model, sde))
+    zero_alpha = float(score_matching_loss(key, batch, model, sde,
+                                           sigma_alpha=0.0))
+    assert plain == zero_alpha
+    prev = plain
+    for alpha in (1.0, 3.0, 5.0):
+        w = float(score_matching_loss(key, batch, model, sde,
+                                      sigma_alpha=alpha))
+        assert prev < w <= (1.0 + alpha) * plain + 1e-6, (alpha, prev, w)
+        prev = w
