@@ -32,7 +32,9 @@ parser.add_argument("--ckpt", default=None, help="orbax checkpoint of a 256^2"
                     " score prior; enables the DDS reconstruction stage")
 parser.add_argument("--num_channels", default=128, type=int)
 parser.add_argument("--num_steps", default=1000, type=int)
-parser.add_argument("--eta", default=0.15, type=float)
+parser.add_argument("--eta", default="0.15",
+                    help="DDIM eta for the DDS stage; comma-separated list "
+                    "runs one reconstruction per value (shared operator)")
 parser.add_argument("--gamma", default=0.01, type=float)
 parser.add_argument("--workdir", default="outputs/walnut_full")
 args = parser.parse_args()
@@ -170,9 +172,12 @@ def main():
     # ---- optional: DDS reconstruction at the walnut protocol ----------------
     if args.ckpt:
         import diffusion_models_dev_project_tpu.factory as F
-        from diffusion_models_dev_project_tpu.configs.walnut_configs import (
+        from diffusion_models_dev_project_tpu.configs.disk_ellipses_configs import (
             get_config)
 
+        # walnut reconstruction uses the ELLIPSES-trained 256^2 prior (the
+        # reference's two-axis protocol: --model_learned_on ellipses
+        # --dataset walnut); walnut_configs carries no model block.
         config = get_config("vesde")
         config.model.num_channels = args.num_channels
         config.model.dtype = "bfloat16"
@@ -182,21 +187,23 @@ def main():
                                                 load_model=True)
         rt = rt_dense
         obs, _, _ = results["dense"]
-        sampler = F.get_standard_sampler(
-            "dds", None, sde, rt, obs, num_steps=args.num_steps,
-            im_shape=(256, 256, 1), gamma=args.gamma, eta=args.eta, cg_iter=5,
-            score_apply=lambda p, x, t: model.apply({"params": p}, x, t),
-            score_params=params)
-        t0 = time.time()
-        x, _ = sampler.sample(jax.random.PRNGKey(7))
-        x = np.clip(np.asarray(x[0, :, :, 0]), 0, 1)
-        dt = time.time() - t0
-        p, s = PSNR(x, gt_model), SSIM(x, gt_model)
-        print(f"[dds] walnut-protocol reconstruction: {p:.2f} dB / {s:.4f} "
-              f"SSIM in {dt:.1f}s ({args.num_steps} steps)  "
-              f"vs FDK {results['dense'][2]:.2f} dB")
-        np.savez(os.path.join(args.workdir, "dds_recon.npz"), recon=x,
-                 gt=gt_model)
+        for eta in (float(e) for e in str(args.eta).split(",")):
+            sampler = F.get_standard_sampler(
+                "dds", None, sde, rt, obs, num_steps=args.num_steps,
+                im_shape=(256, 256, 1), gamma=args.gamma, eta=eta, cg_iter=5,
+                score_apply=lambda p, x, t: model.apply({"params": p}, x, t),
+                score_params=params)
+            t0 = time.time()
+            x, _ = sampler.sample(jax.random.PRNGKey(7))
+            x = np.clip(np.asarray(x[0, :, :, 0]), 0, 1)
+            dt = time.time() - t0
+            p, s = PSNR(x, gt_model), SSIM(x, gt_model)
+            print(f"[dds eta={eta}] walnut-protocol reconstruction: "
+                  f"{p:.2f} dB / {s:.4f} SSIM in {dt:.1f}s "
+                  f"({args.num_steps} steps)  "
+                  f"vs FDK {results['dense'][2]:.2f} dB")
+            np.savez(os.path.join(args.workdir, f"dds_recon_eta{eta}.npz"),
+                     recon=x, gt=gt_model)
 
 
 if __name__ == "__main__":
