@@ -8,7 +8,12 @@ CMD=$(cat "$CMD_FILE")
 RUN_DIR=$(echo "$CMD" | sed -n 's/.*--run_dir \([^ ]*\).*/\1/p')
 CMD_LOG="/root/repo/outputs/$(basename "${RUN_DIR:-run}")_train.log"
 rm -rf /root/repo/"$RUN_DIR"/ckpts/*.orbax-checkpoint-tmp 2>/dev/null || true
-cd /root/repo && PYTHONPATH=/root/repo:$PYTHONPATH nohup bash -c "exec $CMD" \
+# `cd` must NOT be &&-chained before the backgrounded command: `a && b &`
+# backgrounds the whole list, making $! a subshell wrapper pid instead of
+# the exec'd python pid (pause would then orphan the trainer and deadlock
+# the one-process TPU relay — observed live in round 3).
+cd /root/repo
+PYTHONPATH=/root/repo:$PYTHONPATH nohup bash -c "exec $CMD" \
     >> "$CMD_LOG" 2>&1 &
 echo $! > /tmp/train.pid
 rm -f /tmp/train_pause

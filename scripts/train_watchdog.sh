@@ -32,8 +32,12 @@ while true; do
         rm -rf "$RUN_DIR"/ckpts/*.orbax-checkpoint-tmp
         # `exec` so /tmp/train.pid is the python process itself, not a
         # bash wrapper (killing only a wrapper orphans the trainer and a
-        # relaunch would deadlock the one-process TPU relay)
-        cd /root/repo && PYTHONPATH=/root/repo:$PYTHONPATH nohup bash -c "exec $(cat "$CMD_FILE")" \
+        # relaunch would deadlock the one-process TPU relay).  NOTE: `cd`
+        # must NOT be chained with && before the backgrounded command —
+        # `a && b &` backgrounds the whole list and $! would be a subshell
+        # wrapper pid, not the python pid (observed live in round 3).
+        cd /root/repo
+        PYTHONPATH=/root/repo:$PYTHONPATH nohup bash -c "exec $(cat "$CMD_FILE")" \
             >> "$CMD_LOG" 2>&1 &
         echo $! > /tmp/train.pid
         echo "$(date -u +%T) watchdog: relaunched as $(cat /tmp/train.pid)" >> /tmp/watchdog.log
