@@ -62,8 +62,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", default=None,
                    help="orbax TrainState dir; bench with trained EMA weights")
-    p.add_argument("--cg_precision", default=None,
-                   choices=[None, "default", "high", "highest"],
+    p.add_argument("--cg_precision", default="high",
+                   choices=["default", "high", "highest"],
                    help="matmul precision of the CG data-consistency applies")
     args = p.parse_args()
 

@@ -59,11 +59,14 @@ class SamplerSpec:
     travel_repeat: int = 1
     early_stopping_pct: Optional[float] = None
     # matmul precision for the CG data-consistency applies only (the rhs and
-    # observation simulation keep the operator's own precision).  None keeps
-    # the operator default ("highest" = full fp32); "high" (bf16x3) is
-    # ~fp32-accurate at ~2x the MXU throughput.  Only operators exposing a
-    # `precision` field (the FFT-shear projector) honor it.
-    cg_precision: Optional[str] = None
+    # observation simulation keep the operator's own precision).  "high"
+    # (bf16x3) measures PSNR-identical to full fp32 on the flagship protocol
+    # at ~7% higher end-to-end throughput, so it is the default; "highest"
+    # forces full fp32, "default" (pure bf16) is quality-destroying (14 dB,
+    # BENCH.md round 3) and exists only for measurement.  None keeps the
+    # operator's own precision.  Only operators exposing a `precision` field
+    # (the FFT-shear projector) honor it.
+    cg_precision: Optional[str] = "high"
 
 
 def _time_arrays(sde: SDE, spec: SamplerSpec):
@@ -274,7 +277,7 @@ def get_standard_sampler(method: str, score_fn, sde, ray_trafo, observation,
                          score_apply=None, score_params=None,
                          add_corrector_step: bool = False,
                          corrector_snr: float = 0.16,
-                         cg_precision=None) -> DiffusionSampler:
+                         cg_precision="high") -> DiffusionSampler:
     """Factory mirroring reference `get_standard_sampler`
     (exp_utils.py:123-223) with the same defaults and flags."""
     import math

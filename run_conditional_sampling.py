@@ -31,8 +31,8 @@ parser.add_argument("--pct_chain_elapsed", default=0,
                     help="start the chain from noised FBP")
 parser.add_argument("--sde", default="vesde", choices=["vpsde", "vesde", "ddpm"])
 parser.add_argument("--cg_iter", default=5)
-parser.add_argument("--cg_precision", default=None,
-                    choices=[None, "default", "high", "highest"],
+parser.add_argument("--cg_precision", default="high",
+                    choices=["default", "high", "highest"],
                     help="matmul precision of the CG data-consistency "
                     "applies (extension; None = operator default fp32)")
 parser.add_argument("--load_path", help="path to a model checkpoint "

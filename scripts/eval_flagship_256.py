@@ -36,8 +36,8 @@ parser.add_argument("--eta", default=0.15, type=float)
 parser.add_argument("--gamma", default=0.01, type=float)
 parser.add_argument("--penalty", default=1.0, type=float)
 parser.add_argument("--cg_iter", default=5, type=int)
-parser.add_argument("--cg_precision", default=None,
-                    choices=[None, "default", "high", "highest"])
+parser.add_argument("--cg_precision", default="high",
+                    choices=["default", "high", "highest"])
 parser.add_argument("--save_npz", default=None,
                     help="save per-image recon/gt stacks to this .npz")
 parser.add_argument("--trace", action="store_true",
