@@ -31,9 +31,15 @@ parser.add_argument("--eta", default=0.85, type=float)
 parser.add_argument("--dds_steps", default=1000, type=int)
 parser.add_argument("--dds_eta", default=0.85, type=float)
 parser.add_argument("--save_npz", default=None)
+parser.add_argument("--dtype", default="bfloat16")
+parser.add_argument("--platform", default=None, choices=[None, "cpu"],
+                    help="force the CPU backend (glue dry-runs)")
 args = parser.parse_args()
 
 import jax
+
+if args.platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 import diffusion_models_dev_project_tpu.factory as F
@@ -70,7 +76,7 @@ def ood_grid(im: int, seed: int) -> np.ndarray:
 def main():
     config = get_config("vesde")
     config.model.num_channels = args.num_channels
-    config.model.dtype = "bfloat16"
+    config.model.dtype = args.dtype
     config.data.part = "val"
     config.ckpt_path = args.ckpt
 

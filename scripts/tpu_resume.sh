@@ -8,6 +8,11 @@ CMD=$(cat "$CMD_FILE")
 RUN_DIR=$(echo "$CMD" | sed -n 's/.*--run_dir \([^ ]*\).*/\1/p')
 CMD_LOG="/root/repo/outputs/$(basename "${RUN_DIR:-run}")_train.log"
 rm -rf /root/repo/"$RUN_DIR"/ckpts/*.orbax-checkpoint-tmp 2>/dev/null || true
+# reset the staleness clock: the relaunched trainer needs ~7 min of
+# restore+compile before its first log write, and the watchdog would
+# otherwise see the pre-pause mtime and kill it mid-compile (observed
+# round 3 at 22:05 — the fresh trainer lived 2 minutes)
+touch /root/repo/"$RUN_DIR"/train_log.jsonl 2>/dev/null || true
 # `cd` must NOT be &&-chained before the backgrounded command: `a && b &`
 # backgrounds the whole list, making $! a subshell wrapper pid instead of
 # the exec'd python pid (pause would then orphan the trainer and deadlock
