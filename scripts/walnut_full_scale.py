@@ -31,6 +31,9 @@ parser.add_argument("--platform", default=None, choices=[None, "cpu"],
 parser.add_argument("--ckpt", default=None, help="orbax checkpoint of a 256^2"
                     " score prior; enables the DDS reconstruction stage")
 parser.add_argument("--num_channels", default=128, type=int)
+parser.add_argument("--sde", default="vesde", choices=["vesde", "ddpm"],
+                    help="prior family for the DDS stage (the ellipses-"
+                    "trained 256^2 checkpoint must match)")
 parser.add_argument("--num_steps", default=1000, type=int)
 parser.add_argument("--eta", default="0.15",
                     help="DDIM eta for the DDS stage; comma-separated list "
@@ -178,7 +181,7 @@ def main():
         # walnut reconstruction uses the ELLIPSES-trained 256^2 prior (the
         # reference's two-axis protocol: --model_learned_on ellipses
         # --dataset walnut); walnut_configs carries no model block.
-        config = get_config("vesde")
+        config = get_config(args.sde)
         config.model.num_channels = args.num_channels
         config.model.dtype = "bfloat16"
         config.ckpt_path = args.ckpt
