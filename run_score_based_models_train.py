@@ -35,6 +35,12 @@ parser.add_argument("--run_dir", default=None,
                     help="reuse this run directory instead of creating a new "
                     "version_{N} dir; training resumes exactly from its "
                     "latest orbax checkpoint if one exists")
+parser.add_argument("--avg_tail", default=0, type=int,
+                    help="maintain a rolling fp16 average of the EMA "
+                    "shadows of the last K checkpoint saves (exported to "
+                    "<run_dir>/avg_ema_tail.msgpack.npz); snapshot "
+                    "averaging stabilizes near-deterministic DDIM "
+                    "protocols (BENCH.md round 3)")
 parser.add_argument("--sample_freq", default=None,
                     help="emit an unconditional EMA sample grid every N "
                     "epochs to <run_dir>/samples (reference "
@@ -183,7 +189,8 @@ def coordinator(args):
         save_model_every_n_epoch=config.training.save_model_every_n_epoch,
         log_dir=log_dir, seed=config.seed, mesh=mesh,
         checkpointer=Checkpointer(os.path.join(log_dir, "ckpts")),
-        sample_hook=sample_hook, sample_freq=sample_freq)
+        sample_hook=sample_hook, sample_freq=sample_freq,
+        avg_tail=int(args.avg_tail))
 
 
 if __name__ == "__main__":

@@ -124,6 +124,45 @@ def test_trainer_resumes_from_checkpoint(tmp_path):
     assert int(s3.step) == 9
 
 
+def test_trainer_tail_average_export(tmp_path):
+    """`avg_tail=K` writes the rolling fp16 average of the last K saved EMA
+    shadows (the BENCH.md round-3 snapshot-averaging recipe, in-trainer),
+    and the export numerically equals the mean of the saved EMA shadows."""
+    import jax
+    import jax.numpy as jnp
+    import flax
+
+    from diffusion_models_dev_project_tpu.ops.sde import VESDE
+    from diffusion_models_dev_project_tpu.training.trainer import train_score_model
+    from diffusion_models_dev_project_tpu.utils.checkpoint import Checkpointer
+
+    def apply_fn(p, x, t):
+        return x * p["w"].reshape(1, 1, 1, 1)
+
+    def batches():
+        while True:
+            yield jnp.ones((2, 8, 8, 1)) * 0.5
+
+    sde = VESDE(sigma_min=0.01, sigma_max=5.0)
+    log_dir = tmp_path / "l"
+    ck = Checkpointer(str(tmp_path / "ck"))
+    train_score_model(apply_fn, {"w": jnp.zeros((1,))}, sde, batches(),
+                      epochs=3, steps_per_epoch=2, lr=1e-2,
+                      log_dir=str(log_dir), seed=1,
+                      save_model_every_n_epoch=1, checkpointer=ck,
+                      avg_tail=2)
+    path = log_dir / "avg_ema_tail.msgpack.npz"
+    assert path.exists()
+    avg = flax.serialization.msgpack_restore(path.read_bytes())
+    assert avg["w"].dtype == np.float16
+    # the average must equal the mean of the LAST TWO saved EMA shadows
+    shadows = [np.asarray(Checkpointer(str(tmp_path / "ck")).restore(step=s)
+                          ["ema"]["shadow"]["w"], np.float64)
+               for s in (4, 6)]
+    np.testing.assert_allclose(np.asarray(avg["w"], np.float64),
+                               np.mean(shadows, axis=0), rtol=1e-2)
+
+
 def test_get_standard_path_conventions():
     """Output-path hyperparameter encoding (reference exp_utils.py:440-478)."""
     import argparse
