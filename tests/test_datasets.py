@@ -72,3 +72,24 @@ def test_factory_uses_presaved_valset():
     arr = np.stack([np.asarray(x) for x in ds])
     assert arr.shape == (10, 256, 256, 1)        # the reference's shipped set
     assert 0.0 <= arr.min() and arr.max() <= 1.0 + 1e-6
+
+
+def test_synth_aapm_generator_feeds_dataset(tmp_path):
+    """`scripts/make_synth_aapm.py` output loads through AAPMDataset with
+    the reference fold arithmetic and is a valid [0,1] NHWC image source
+    (the OOD-matrix eval path, BENCH.md round 3)."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "aapm"
+    subprocess.run([sys.executable, "scripts/make_synth_aapm.py",
+                    "--out", str(out), "--n", "16", "--im_size", "32"],
+                   check=True, cwd=os.path.dirname(os.path.dirname(__file__)))
+    from diffusion_models_dev_project_tpu.data.aapm import AAPMDataset
+
+    test = AAPMDataset(part="test", base_path=str(out))
+    assert len(test) == 2                      # every 8th of 16
+    x = test[0]
+    assert x.shape == (32, 32, 1) and x.dtype == np.float32
+    assert 0.0 <= float(x.min()) and float(x.max()) <= 1.0
+    assert float(x.max()) > 0.5                # anatomy present, not blank
