@@ -143,3 +143,35 @@ def test_simulated_dataset_deterministic():
     y1, _, _ = ds[1]
     assert np.abs(np.asarray(y0a) * 0.5 - np.asarray(y1)).max() > 1e-8
     assert f0a.shape == (1, IM, IM, 1)
+
+
+def test_cg_precision_default_and_operator_passthrough():
+    """DDS data-consistency defaults to bf16x3 matmul precision ("high" —
+    measured PSNR-identical to fp32 at +7% throughput, BENCH.md round 3);
+    operators without a `precision` field are left untouched, and "highest"
+    restores full fp32 on those that have one."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from diffusion_models_dev_project_tpu.sampling.engine import (
+        SamplerSpec, get_standard_sampler)
+    from diffusion_models_dev_project_tpu.ops.sde import VESDE
+    from diffusion_models_dev_project_tpu.physics.fft_radon import (
+        make_fft_parallel_trafo)
+
+    assert SamplerSpec(method="dds", num_steps=2,
+                       im_shape=(8, 8, 1)).cg_precision == "high"
+
+    sde = VESDE(sigma_min=0.01, sigma_max=5.0)
+    trafo = make_fft_parallel_trafo((32, 32), num_angles=6)
+    obs = trafo.apply(jnp.zeros((1, 32, 32, 1)))
+    s = get_standard_sampler(
+        "dds", lambda x, t: x, sde, trafo, obs, num_steps=2,
+        im_shape=(32, 32, 1))
+    assert s.spec.cg_precision == "high"
+    assert hasattr(trafo, "precision")
+    # the CG-applied operator gets the spec precision; the sampler's own
+    # trafo (used for rhs/simulation) keeps the operator default
+    swapped = dataclasses.replace(trafo, precision=s.spec.cg_precision)
+    assert swapped.precision == "high" and trafo.precision != "high"
