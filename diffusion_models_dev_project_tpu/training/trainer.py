@@ -51,6 +51,12 @@ def make_train_step(model_apply: Callable, sde: SDE, optimizer,
     loss_impl = (score_matching_loss if sde.prediction_type == "score"
                  else epsilon_matching_loss)
     loss_kwargs = dict(loss_kwargs or {})
+    if sde.prediction_type != "score" and "sigma_alpha" in loss_kwargs:
+        # σ-stratified reweighting targets the VESDE top-σ-decade pathology;
+        # the epsilon loss takes no such kwarg (DDPM's noise scale is
+        # bounded) — drop it instead of crashing the first train step
+        print("note: sigma_alpha ignored for the epsilon-matching loss")
+        loss_kwargs.pop("sigma_alpha")
 
     def loss_fn(params, key, batch):
         model = lambda x, t: model_apply(params, x, t)
@@ -231,8 +237,12 @@ def train_score_model(
                 shadow = jax.device_get(
                     state.ema["shadow"] if isinstance(state.ema, dict)
                     else state.ema.shadow)
+                # keep snapshots at full precision: between consecutive saves
+                # the EMA moves by ~1e-3..1e-4 relative — at/below fp16
+                # resolution, so quantizing BEFORE the mean would make the
+                # average quantization-dominated; only the export is fp16
                 avg_buf.append(jax.tree_util.tree_map(
-                    lambda a: np.asarray(a, np.float16), shadow))
+                    lambda a: np.asarray(a, np.float32), shadow))
                 if len(avg_buf) >= 2:
                     _export_tail_average(avg_buf, log_dir)
         if sample_freq > 0 and epoch % sample_freq == 0 and sample_hook is not None:

@@ -107,7 +107,10 @@ def coordinator(args):
         # Adam state and the step counter start fresh, and the trainer's
         # EMA warm start (reference trainer.py:52-55) seeds the shadow
         # from these params for the first ema_warm_start_steps.
-        params = F._load_params(str(args.init_ckpt), config.model, use_ema=False)
+        # NOTE: pass the resolved UNetConfig (model.cfg), not the raw
+        # ml_collections model block — the .pt converter needs the derived
+        # fields (model_channels, channel_mult tuple) to map names
+        params = F._load_params(str(args.init_ckpt), model.cfg, use_ema=False)
         print(f"warm-started params from {args.init_ckpt}")
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(params))

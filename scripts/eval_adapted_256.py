@@ -81,8 +81,11 @@ def main():
     config.ckpt_path = args.ckpt
 
     sde = F.get_standard_sde(config)
+    # full/decoder strategies adapt the base params directly: the model must
+    # be built WITHOUT LoRA (mirrors run_adapted_sampling.py's gating)
+    lora_rank = args.lora_rank if args.adaptation == "lora" else 0
     model, params, _ = F.get_standard_score(
-        config, sde, use_ema=True, load_model=True, lora_rank=args.lora_rank)
+        config, sde, use_ema=True, load_model=True, lora_rank=lora_rank)
     import dataclasses
 
     plain_model = type(model)(dataclasses.replace(model.cfg, lora_rank=0))
@@ -122,6 +125,10 @@ def main():
         x_dds = np.clip(np.asarray(x_dds[0, ..., 0]), 0, 1)
 
         t0 = time.time()
+        if ad_sampler is not None and args.adaptation != "lora":
+            # full/decoder: the adaptation state IS the base params — force a
+            # fresh sampler per image (reference reloads the model per image)
+            ad_sampler = None
         if ad_sampler is None:
             ad_sampler = F.get_standard_adapted_sampler(
                 "dds", model, params, sde, trafo, obs, num_steps=args.num_steps,

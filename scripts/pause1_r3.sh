@@ -27,7 +27,7 @@ timeout 1200 python scripts/profile_dds.py \
     2>&1 | tee "$OUT/profile_dds.log"
 
 # 5. bench at both CG precisions (highest = current default; high = bf16x3)
-timeout 900 python bench.py 2>&1 | tee "$OUT/bench_highest.log"
+timeout 900 python bench.py --cg_precision highest 2>&1 | tee "$OUT/bench_highest.log"
 timeout 900 python bench.py --cg_precision high 2>&1 | tee "$OUT/bench_cg_high.log"
 timeout 900 python bench.py --cg_precision default 2>&1 | tee "$OUT/bench_cg_default.log"
 

@@ -5,7 +5,7 @@
 # (a client that reconnects too early wedges in backend init).
 set -e
 touch /tmp/train_pause
-pid=$(cat /tmp/train.pid 2>/dev/null)
+pid=$(cat /tmp/train.pid 2>/dev/null || true)
 if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then
     echo "pausing trainer pid $pid"
     kill "$pid" 2>/dev/null || true

@@ -40,6 +40,11 @@ while true; do
         PYTHONPATH=/root/repo:$PYTHONPATH nohup bash -c "exec $(cat "$CMD_FILE")" \
             >> "$CMD_LOG" 2>&1 &
         echo $! > /tmp/train.pid
+        # reset the staleness clock: the relaunched trainer needs ~7 min of
+        # restore+compile before its first log write, and the next loop
+        # iterations would otherwise still see the pre-wedge mtime and kill
+        # it mid-compile (same fix as tpu_resume.sh)
+        touch "$LOG"
         echo "$(date -u +%T) watchdog: relaunched as $(cat /tmp/train.pid)" >> /tmp/watchdog.log
         sleep 420       # grace for restore+compile
     fi

@@ -82,3 +82,34 @@ def test_precision_field_roundtrip():
     a = np.asarray(jax.jit(lambda tr, xx: tr.apply(xx))(fast, x))
     b = np.asarray(fft.apply(x))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_coprime_angle_counts_stay_quadrant_batched():
+    """Angle counts whose quadrant-group sizes are coprime (e.g. 90 ->
+    [23, 44, 23]) must still produce one stack entry per distinct quadrant
+    — the earlier gcd chunking degenerated to one chunk PER ANGLE here —
+    and the operator must stay numerically consistent with the ELL path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from diffusion_models_dev_project_tpu.physics.fft_radon import (
+        make_fft_parallel_trafo)
+    from diffusion_models_dev_project_tpu.physics.ray_trafo import (
+        make_parallel_beam_trafo)
+
+    for n_ang in (10, 90):
+        fft = make_fft_parallel_trafo((32, 32), n_ang)
+
+        assert fft.det_matrix.shape[0] == len(set(fft.k90s)) <= 4
+        assert fft.det_matrix.shape[0] * fft.det_matrix.shape[1] >= n_ang
+        ell = make_parallel_beam_trafo((32, 32), n_ang, impl="matrix")
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(_blob(32, 32))[None, :, :, None]
+        ya, yb = np.asarray(fft.apply(x)), np.asarray(ell.apply(x))
+        rel = np.abs(ya - yb).max() / (np.abs(yb).max() + 1e-9)
+        assert rel < 0.02, rel
+        # adjointness of the padded/stacked operator
+        y = jnp.asarray(rng.random(ya.shape, np.float32))
+        lhs = float(jnp.vdot(fft.apply(x), y))
+        rhs = float(jnp.vdot(x, fft.adjoint(y)))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
