@@ -15,13 +15,14 @@ vector per angle), and the final sec-scaled detector resampling is a
 precomputed per-angle matrix — the whole 60-angle forward projection is
 a handful of dense matmuls.
 
-The quadrant groups are padded to a uniform size and STACKED on a leading
-batch axis — one stack entry per distinct quadrant — so the whole forward
-projection is ONE batched matmul chain instead of a sequential
-per-quadrant loop: at CG batch sizes the individual matmuls are too small
-to fill the MXU and the batched layout roughly halves the apply latency.
-The output reordering is a static permutation (pure layout copy), not a
-scatter; padded slots are never selected.
+The quadrant groups are brought to a uniform size (gcd chunking when the
+group sizes share a large divisor, pad-to-max otherwise) and STACKED on a
+leading batch axis, so the whole forward projection is ONE batched matmul
+chain instead of a sequential per-quadrant loop: at CG batch sizes the
+individual matmuls are too small to fill the MXU and the batched layout
+roughly halves the apply latency.  The output reordering is a static
+permutation (pure layout copy), not a scatter; padded slots (if any) are
+never selected.
 
 The adjoint is the EXACT linear transpose (`jax.linear_transpose`), so
 `⟨Ax, y⟩ = ⟨x, Aᵀy⟩` holds to round-off like for the matrix operator.
@@ -33,6 +34,7 @@ ODL-vs-torch-radon cross-check (`/root/reference/src/physics/trafo.py:17,29-45`)
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -121,9 +123,9 @@ def _det_interp_matrices(P: int, det_count: int, det_spacing: float,
 class FFTRayTransform:
     """Parallel-beam operator with the `RayTransform` interface, gather-free.
 
-    All per-angle tables are padded to a uniform group size G and stacked
-    on a leading batch axis B, one entry per distinct quadrant
-    (B·G ≥ num angles): `det_matrix` (B, G, P, D),
+    All per-angle tables are brought to a uniform group size G (gcd
+    chunking or pad-to-max, whichever stacks smaller — B·G ≥ num angles)
+    and stacked on a leading batch axis B: `det_matrix` (B, G, P, D),
     shear phases (B, G, P, Pf).  `k90s` holds each chunk's static quadrant
     rotation and `inv_perm` the static permutation mapping the stacked
     (B·G) angle order back to the geometry's angle order.
@@ -249,18 +251,25 @@ def make_fft_parallel_trafo(im_shape: Tuple[int, int],
     groups = {}
     for i, k in enumerate(k90s_all):
         groups.setdefault(int(k), []).append(i)
-    # pad every quadrant group to the max group size G (padding repeats an
-    # existing angle of the group, whose redundant output is simply never
-    # selected by inv_perm) so the stack has exactly ONE entry per distinct
-    # quadrant — the heavy row-DFT then runs once per quadrant regardless of
-    # the angle count.  (A gcd-based no-padding chunking was tried first but
-    # degenerates to one chunk PER ANGLE whenever the group sizes are
-    # coprime — e.g. [23,44,23] at 90 angles — re-running the DFT ~A/3
-    # times and stacking an (A, N, P, P) intermediate.)
-    G = max(len(v) for v in groups.values())
-    chunks = []                                  # (k90, [angle idxs]) per chunk
-    for k, idxs in sorted(groups.items()):
-        chunks.append((k, idxs + [idxs[-1]] * (G - len(idxs))))
+    # Two uniform-size stackings, cheapest wins (measured on the v5e):
+    #  (a) gcd chunking — no padded slots; fastest when the group sizes
+    #      share a large divisor (the 60-angle protocol: [15,30,15] -> 4
+    #      chunks of 15; padding to [30,30,30] measured 7% slower e2e);
+    #  (b) pad-to-max — one stack entry per distinct quadrant; needed when
+    #      the gcd degenerates (coprime sizes, e.g. [23,44,23] at 90
+    #      angles -> 90 single-angle chunks, re-running the row-DFT ~A/3
+    #      times over an (A, N, P, P) stack).  Padded slots repeat an
+    #      existing angle of the group and are never selected by inv_perm.
+    gsz = math.gcd(*(len(v) for v in groups.values()))
+    gcd_chunks = [(k, idxs[s:s + gsz])
+                  for k, idxs in sorted(groups.items())
+                  for s in range(0, len(idxs), gsz)]
+    if len(gcd_chunks) <= 2 * len(groups):
+        chunks = gcd_chunks                      # (k90, [angle idxs]) per chunk
+    else:
+        G = max(len(v) for v in groups.values())
+        chunks = [(k, idxs + [idxs[-1]] * (G - len(idxs)))
+                  for k, idxs in sorted(groups.items())]
     det_all = _det_interp_matrices(P, geom.det_count, geom.det_spacing, phis)
     phis_j = jnp.asarray(phis, jnp.float32)
     det_stack, cos_stack, sin_stack = [], [], []
