@@ -259,7 +259,8 @@ def make_fft_parallel_trafo(im_shape: Tuple[int, int],
     #      the gcd degenerates (coprime sizes, e.g. [23,44,23] at 90
     #      angles -> 90 single-angle chunks, re-running the row-DFT ~A/3
     #      times over an (A, N, P, P) stack).  Padded slots repeat an
-    #      existing angle of the group and are never selected by inv_perm.
+    #      existing angle of the group; inv_perm maps each angle to its
+    #      first occurrence, so padded (duplicate) slots are never selected.
     gsz = math.gcd(*(len(v) for v in groups.values()))
     gcd_chunks = [(k, idxs[s:s + gsz])
                   for k, idxs in sorted(groups.items())
@@ -280,10 +281,14 @@ def make_fft_parallel_trafo(im_shape: Tuple[int, int],
         cos_stack.append(pr)
         sin_stack.append(pi)
         flat_order.extend(idxs)
-    # each original angle -> one of its slots (duplicates compute identical
-    # rows, so any occurrence is valid); padded slots are dropped here
+    # each original angle -> its FIRST slot in flat_order (assign in reverse
+    # so earlier occurrences win).  Padded slots duplicate an angle already
+    # present in the group; they compute identical rows, but pinning the
+    # first occurrence makes the invariant explicit instead of relying on
+    # the duplicates being exact copies.
     inv_perm = np.empty(num_angles, np.int64)
-    inv_perm[np.asarray(flat_order)] = np.arange(len(flat_order))
+    flat = np.asarray(flat_order)
+    inv_perm[flat[::-1]] = np.arange(len(flat))[::-1]
     trafo = FFTRayTransform(
         det_matrix=jnp.asarray(np.stack(det_stack)),
         shear_cos=jnp.stack(cos_stack), shear_sin=jnp.stack(sin_stack),

@@ -133,12 +133,11 @@ def ancestral_step(
         (loss, (s, xhat0)), grad = jax.value_and_grad(loss_of_x, has_aux=True)(x)
 
     std_t = _b(sde.marginal_prob_std(t), x.ndim)
-    # contract: the engine always passes a UNIFORM t-vector (one time for the
-    # whole batch), mirroring the reference's `int(t[0].item())`
-    # (samplers/utils.py:88).  Indexing alphas[t[0]] is wrong for per-image
-    # time grids — if batched time-travel with distinct schedules is ever
-    # added, switch to `sde.alphas[t.astype(jnp.int32)]` with broadcasting.
-    alpha_t = sde.alphas[t[0].astype(jnp.int32)]
+    # per-batch alpha lookup (the reference's `int(t[0].item())` at
+    # samplers/utils.py:88 assumes a uniform batch time; broadcasting
+    # alphas[t] is identical for uniform t and also correct if batched
+    # time-travel with distinct per-image schedules is ever added)
+    alpha_t = _b(sde.alphas[t.astype(jnp.int32)], x.ndim)
     x_mean = (x - (1.0 - alpha_t) / std_t * s) / jnp.sqrt(alpha_t)
     noise = jnp.sqrt(1.0 - alpha_t) * jax.random.normal(key, x.shape, x.dtype)
     if nloglik is not None:

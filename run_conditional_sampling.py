@@ -34,7 +34,10 @@ parser.add_argument("--cg_iter", default=5)
 parser.add_argument("--cg_precision", default="high",
                     choices=["default", "high", "highest"],
                     help="matmul precision of the CG data-consistency "
-                    "applies (extension; None = operator default fp32)")
+                    "applies (extension): high = bf16x3 (default, "
+                    "PSNR-identical to fp32, ~7%% faster end-to-end), "
+                    "highest = full fp32 (reference-parity numerics), "
+                    "default = pure bf16 (fast but collapses; BENCH.md r3)")
 parser.add_argument("--load_path", help="path to a model checkpoint "
                     "(.pt reference checkpoint or orbax dir)")
 parser.add_argument("--stddev", default=None, help="noise level override")

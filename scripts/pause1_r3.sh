@@ -26,7 +26,8 @@ timeout 1200 python scripts/eval_flagship_256.py --ckpt "$CKPT" \
 timeout 1200 python scripts/profile_dds.py \
     2>&1 | tee "$OUT/profile_dds.log"
 
-# 5. bench at both CG precisions (highest = current default; high = bf16x3)
+# 5. bench at all three CG precisions (high = bf16x3 is the current
+#    default since round 3; highest = fp32 reference-parity numerics)
 timeout 900 python bench.py --cg_precision highest 2>&1 | tee "$OUT/bench_highest.log"
 timeout 900 python bench.py --cg_precision high 2>&1 | tee "$OUT/bench_cg_high.log"
 timeout 900 python bench.py --cg_precision default 2>&1 | tee "$OUT/bench_cg_default.log"
