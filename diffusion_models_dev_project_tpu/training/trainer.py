@@ -121,16 +121,27 @@ def _export_tail_average(avg_buf, log_dir: str) -> str:
     """Write the uniform average of the buffered EMA snapshots (fp16
     msgpack, same format as `scripts/average_ckpts.py` / the shipped
     `checkpoints/*.msgpack.npz` files) to `{log_dir}/avg_ema_tail.msgpack.npz`."""
-    import flax
-
     k = float(len(avg_buf))
     avg = jax.tree_util.tree_map(
         lambda *xs: (np.sum([x.astype(np.float64) for x in xs], axis=0)
                      / k).astype(np.float16), *avg_buf)
-    path = os.path.join(log_dir, "avg_ema_tail.msgpack.npz")
+    return _export_msgpack(avg, os.path.join(log_dir, "avg_ema_tail.msgpack.npz"))
+
+
+def _export_msgpack(tree, path: str) -> str:
+    import flax
+
     with open(path, "wb") as f:
-        f.write(flax.serialization.msgpack_serialize(avg))
+        f.write(flax.serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, tree)))
     return path
+
+
+def _tail_average_fp32(avg_buf):
+    k = float(len(avg_buf))
+    return jax.tree_util.tree_map(
+        lambda *xs: (np.sum([x.astype(np.float64) for x in xs], axis=0)
+                     / k).astype(np.float32), *avg_buf)
 
 
 def train_score_model(
@@ -155,6 +166,7 @@ def train_score_model(
     sample_freq: int = 0,
     loss_kwargs: Optional[dict] = None,
     avg_tail: int = 0,
+    probe_hook: Optional[Callable] = None,
 ) -> TrainState:
     """Run the training loop; returns final state.
 
@@ -171,6 +183,13 @@ def train_score_model(
     eta=0.15; the 3-snapshot average reconstructs 10/10) — and it survives
     orbax's max_to_keep garbage collection, which deleted a known-good
     snapshot mid-round before this existed.
+
+    `probe_hook(shadow_fp32_pytree) -> float` (lower = better), if given,
+    scores every checkpoint save's EMA shadow AND the rolling tail average;
+    the best-scoring weights so far are exported to
+    `{log_dir}/best_ema.msgpack.npz` (+ provenance in best_ema.json) so a
+    winning snapshot can never be garbage-collected (the round-3 lesson:
+    orbax max_to_keep deleted a 10/10-good snapshot mid-eval).
     """
     optimizer = (optax.chain(optax.clip_by_global_norm(grad_clip),
                              optax.adam(lr))
@@ -200,6 +219,18 @@ def train_score_model(
         avg_buf = deque(maxlen=int(avg_tail))
     else:
         avg_buf = None
+    best_probe = None
+    if probe_hook is not None:
+        # carry the best-so-far score across restarts (the watchdog relaunch
+        # path) so a resume can't overwrite a better earlier export
+        try:
+            import json
+
+            with open(os.path.join(log_dir, "best_ema.json")) as f:
+                best_probe = float(json.load(f)["score"])
+            print(f"probe: resuming with best-so-far {best_probe:.5f}")
+        except (OSError, ValueError, KeyError):
+            pass
 
     if mesh is not None:
         from ..parallel.mesh import replicate, shard_batch
@@ -233,18 +264,42 @@ def train_score_model(
         if checkpointer is not None and (
                 epoch % save_model_every_n_epoch == 0 or epoch == epochs - 1):
             checkpointer.save(state, step=int(state.step))
-            if avg_buf is not None:
+            shadow = None
+            if avg_buf is not None or probe_hook is not None:
                 shadow = jax.device_get(
                     state.ema["shadow"] if isinstance(state.ema, dict)
                     else state.ema.shadow)
+                shadow = jax.tree_util.tree_map(
+                    lambda a: np.asarray(a, np.float32), shadow)
+            if avg_buf is not None:
                 # keep snapshots at full precision: between consecutive saves
                 # the EMA moves by ~1e-3..1e-4 relative — at/below fp16
                 # resolution, so quantizing BEFORE the mean would make the
                 # average quantization-dominated; only the export is fp16
-                avg_buf.append(jax.tree_util.tree_map(
-                    lambda a: np.asarray(a, np.float32), shadow))
+                avg_buf.append(shadow)
                 if len(avg_buf) >= 2:
                     _export_tail_average(avg_buf, log_dir)
+            if probe_hook is not None:
+                import json
+
+                candidates = [("ema", shadow)]
+                if avg_buf is not None and len(avg_buf) >= 2:
+                    candidates.append((f"avg_tail{len(avg_buf)}",
+                                       _tail_average_fp32(avg_buf)))
+                for tag, weights in candidates:
+                    score = float(probe_hook(weights))
+                    log.scalar(f"probe/{tag}", score, int(state.step))
+                    if best_probe is None or score < best_probe:
+                        best_probe = score
+                        _export_msgpack(
+                            jax.tree_util.tree_map(
+                                lambda a: a.astype(np.float16), weights),
+                            os.path.join(log_dir, "best_ema.msgpack.npz"))
+                        with open(os.path.join(log_dir, "best_ema.json"), "w") as f:
+                            json.dump({"score": score, "step": int(state.step),
+                                       "source": tag}, f)
+                        print(f"probe: new best {score:.5f} ({tag} @ step "
+                              f"{int(state.step)}) -> best_ema.msgpack.npz")
         if sample_freq > 0 and epoch % sample_freq == 0 and sample_hook is not None:
             sample_hook(state, epoch)
 

@@ -61,6 +61,18 @@ parser.add_argument("--loss_sigma_alpha", default=None,
                     "(losses.score_matching_loss); 0/None = exact reference "
                     "loss")
 
+parser.add_argument("--keep_best_probe", nargs="?", const="dds", default=None,
+                    choices=["dds", "tweedie"],
+                    help="score every checkpoint save's EMA shadow (and the "
+                    "rolling tail average) on held-out val images and export "
+                    "the best-so-far weights to <run_dir>/best_ema.msgpack.npz "
+                    "— a winning snapshot can never be garbage-collected by "
+                    "orbax max_to_keep (the round-3 lesson, BENCH.md). "
+                    "'dds' (default) runs a 200-step eta=0.15 DDS mini-"
+                    "reconstruction and scores by -PSNR — the direct measure "
+                    "of the near-deterministic protocol the probe exists to "
+                    "protect; 'tweedie' scores denoising RMSE over the mid "
+                    "sigma-decades (cheaper, indirect)")
 parser.add_argument("--debug_nans", action="store_true",
                     help="enable jax_debug_nans (fail at the first NaN)")
 
@@ -177,6 +189,83 @@ def coordinator(args):
             print(f"validation samples (epoch {epoch}): {path} "
                   f"mean {grid.mean():.3f} std {grid.std():.3f}")
 
+    # Keep-best checkpointing (round-3 lesson, BENCH.md: orbax max_to_keep
+    # garbage-collected a 10/10-good snapshot mid-eval).  Two scorers:
+    # 'dds' (default) — a 200-step eta=0.15 DDS mini-reconstruction on fixed
+    # val images with fixed measurement noise, scored by -PSNR: the direct
+    # measure of the near-deterministic protocol the probe protects.  Round 3
+    # measured that the Tweedie top-sigma RMSE can move OPPOSITE to eta=0.15
+    # quality (pause 1: sigma=100 RMSE 26.6 vs 7.1 while the protocol went
+    # 0/10 -> 10/10), so only a real mini-reconstruction is trustworthy.
+    # 'tweedie' — denoising RMSE over the mid sigma-decades (cheaper probe,
+    # useful for quick runs where ~9 s/save of DDS is too much).
+    probe_hook = None
+    if args.keep_best_probe:
+        import jax.numpy as jnp
+
+        val_cfg = get_config(args.sde)
+        val_cfg.data.part = "val"
+        val_cfg.data.im_size = int(config.data.im_size)
+        im = int(config.data.im_size)
+        imgs = []
+        for i, img in enumerate(F.get_standard_dataset(val_cfg)):
+            imgs.append(np.asarray(img))
+            if len(imgs) >= 2:
+                break
+        gt = jnp.asarray(np.stack(imgs))
+        if gt.shape[1] != im:
+            gt = jax.image.resize(gt, (gt.shape[0], im, im, gt.shape[-1]),
+                                  method="linear")
+
+        if args.keep_best_probe == "dds":
+            from diffusion_models_dev_project_tpu.sampling.engine import (
+                get_standard_sampler)
+            from diffusion_models_dev_project_tpu.utils.metrics import PSNR
+
+            ray_trafo = F.get_standard_ray_trafo(val_cfg)
+            _, obs, fbp = F.get_data_from_ground_truth(
+                gt, ray_trafo, float(val_cfg.data.stddev),
+                jax.random.PRNGKey(config.seed + 7))
+            probe_sampler = get_standard_sampler(
+                "dds", None, sde, ray_trafo, obs, num_steps=200,
+                batch_size=gt.shape[0], eta=0.15, gamma=0.01, cg_iter=5,
+                filtbackproj=fbp, score_apply=apply_fn, score_params=params)
+            probe_key = jax.random.PRNGKey(config.seed + 13)
+            gt_np = np.asarray(gt)
+
+            def probe_hook(weights):
+                probe_sampler.score_params = weights
+                x, _ = probe_sampler.sample(probe_key)
+                x = np.asarray(x)
+                vals = [PSNR(x[i, ..., 0], gt_np[i, ..., 0])
+                        for i in range(x.shape[0])]
+                return -float(np.mean(vals))
+        else:
+            # Tweedie RMSE at the mid sigma-decades: t fractions covering
+            # sigma in [10, 70] for the VESDE schedule (sigma_max=100).
+            from diffusion_models_dev_project_tpu.ops.diffusion import tweedy
+
+            fracs = (0.75, 0.85, 0.92, 0.96)
+            t_scale = (float(config.sde.num_steps) - 1.0
+                       if config.sde.type == "ddpm" else 1.0)
+            probe_z = jax.random.normal(jax.random.PRNGKey(config.seed + 99),
+                                        (len(fracs),) + gt.shape)
+
+            @jax.jit
+            def _probe(p):
+                total = 0.0
+                for j, frac in enumerate(fracs):
+                    t = jnp.full((gt.shape[0],), frac * t_scale)
+                    mean, std = sde.marginal_prob(gt, t)
+                    x = mean + std[:, None, None, None] * probe_z[j]
+                    s = model.apply({"params": p}, x, t)
+                    xhat0 = tweedy(s, x, sde, t)
+                    total = total + jnp.sqrt(jnp.mean((xhat0 - gt) ** 2))
+                return total / len(fracs)
+
+            def probe_hook(weights):
+                return float(_probe(weights))
+
     train_score_model(
         apply_fn, params, sde, batches,
         epochs=config.training.epochs,
@@ -193,7 +282,7 @@ def coordinator(args):
         log_dir=log_dir, seed=config.seed, mesh=mesh,
         checkpointer=Checkpointer(os.path.join(log_dir, "ckpts")),
         sample_hook=sample_hook, sample_freq=sample_freq,
-        avg_tail=int(args.avg_tail))
+        avg_tail=int(args.avg_tail), probe_hook=probe_hook)
 
 
 if __name__ == "__main__":

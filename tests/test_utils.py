@@ -163,6 +163,62 @@ def test_trainer_tail_average_export(tmp_path):
                                np.mean(shadows, axis=0), rtol=1e-2)
 
 
+def test_trainer_keep_best_probe_export(tmp_path):
+    """`probe_hook` scores every save's EMA shadow (and tail average when
+    avg_tail is on); the best-so-far weights are exported to
+    best_ema.msgpack.npz with provenance, and a resume carries the prior
+    best score so a worse later snapshot cannot overwrite the export
+    (the round-3 orbax max_to_keep garbage-collection lesson)."""
+    import json
+
+    import jax.numpy as jnp
+    import flax
+
+    from diffusion_models_dev_project_tpu.ops.sde import VESDE
+    from diffusion_models_dev_project_tpu.training.trainer import train_score_model
+    from diffusion_models_dev_project_tpu.utils.checkpoint import Checkpointer
+
+    def apply_fn(p, x, t):
+        return x * p["w"].reshape(1, 1, 1, 1)
+
+    def batches():
+        while True:
+            yield jnp.ones((2, 8, 8, 1)) * 0.5
+
+    sde = VESDE(sigma_min=0.01, sigma_max=5.0)
+    log_dir = tmp_path / "l"
+    scores = iter([3.0, 1.0, 2.0])          # best at the SECOND save
+    seen = []
+
+    def probe_hook(weights):
+        seen.append(float(np.asarray(weights["w"])[0]))
+        return next(scores)
+
+    train_score_model(apply_fn, {"w": jnp.zeros((1,))}, sde, batches(),
+                      epochs=3, steps_per_epoch=2, lr=1e-2,
+                      log_dir=str(log_dir), seed=1,
+                      save_model_every_n_epoch=1,
+                      checkpointer=Checkpointer(str(tmp_path / "ck")),
+                      probe_hook=probe_hook)
+    assert len(seen) == 3
+    meta = json.loads((log_dir / "best_ema.json").read_text())
+    assert meta["score"] == 1.0 and meta["step"] == 4 and meta["source"] == "ema"
+    best = flax.serialization.msgpack_restore(
+        (log_dir / "best_ema.msgpack.npz").read_bytes())
+    # exported weights are the step-4 EMA shadow (fp16), not the later one
+    np.testing.assert_allclose(np.asarray(best["w"], np.float64), seen[1],
+                               rtol=1e-2)
+    # resume in the same log_dir: a worse probe score cannot overwrite
+    train_score_model(apply_fn, {"w": jnp.zeros((1,))}, sde, batches(),
+                      epochs=4, steps_per_epoch=2, lr=1e-2,
+                      log_dir=str(log_dir), seed=1,
+                      save_model_every_n_epoch=1,
+                      checkpointer=Checkpointer(str(tmp_path / "ck")),
+                      probe_hook=lambda w: 5.0)
+    meta = json.loads((log_dir / "best_ema.json").read_text())
+    assert meta["score"] == 1.0 and meta["step"] == 4
+
+
 def test_get_standard_path_conventions():
     """Output-path hyperparameter encoding (reference exp_utils.py:440-478)."""
     import argparse
