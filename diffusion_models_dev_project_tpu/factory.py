@@ -188,6 +188,11 @@ def get_standard_train_dataset(config):
             fold="train", im_size=config.data.im_size, length=config.data.length,
             diameter=config.data.diameter, max_n_ellipse=config.data.num_n_ellipse)
         return ds, ds.batches(config.training.batch_size)
+    if config.data.name.lower() == "aapm":
+        # extension: the reference's AAPM prior arrives pretrained
+        # (aapm.py:21); here the train fold is every non-test, non-val slice
+        ds = AAPMDataset(part="train", base_path=config.data.base_path)
+        return ds, ds.batches(config.training.batch_size)
     raise NotImplementedError(config.data.name)
 
 

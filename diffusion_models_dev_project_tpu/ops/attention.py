@@ -12,8 +12,10 @@ Matches the ADM "legacy" attention semantics exactly
 q and k are EACH pre-scaled by 1/sqrt(sqrt(d)) and the softmax runs in
 float32.
 
-Layout: q, k, v are (B*heads, T, d) with d a multiple of 8 (padded by the
-caller if needed); T must divide by the block size.
+Layout: q, k, v are (B*heads, T, d).  Arbitrary T and d are accepted:
+`flash_attention` zero-pads d to a multiple of 8 (exact — zero feature
+columns add zero to every logit) and pads T up to a block-size multiple
+with keys masked to -inf inside the kernel, then slices the output back.
 """
 from __future__ import annotations
 
@@ -38,7 +40,8 @@ def attention_reference(q: jnp.ndarray, k: jnp.ndarray,
     return jnp.einsum("bts,bsc->btc", w, v)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_kv: int, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_kv: int, scale: float,
+                  valid_t: int):
     """One (batch, q-block) program: stream k/v blocks with online softmax."""
     q = q_ref[0].astype(jnp.float32) * scale          # (bq, d)
     T = k_ref.shape[1]
@@ -51,6 +54,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_kv: int, scale: float):
         vblk = v_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
         s = jnp.dot(q, (kblk * scale).T,
                     preferred_element_type=jnp.float32)        # (bq, bkv)
+        if valid_t < T:
+            # mask key slots beyond the true sequence (T was padded up to a
+            # block multiple); -1e30 keeps exp() exactly 0 without inf-inf
+            cols = i * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_kv), 1)
+            s = jnp.where(cols < valid_t, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -69,26 +78,45 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_kv: int, scale: float):
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = 256, block_kv: int = 256,
                     interpret: bool = False) -> jnp.ndarray:
-    """Blockwise attention; q/k/v (B, T, d) -> (B, T, d)."""
+    """Blockwise attention; q/k/v (B, T, d) -> (B, T, d), any T and d."""
     b, t, d = q.shape
-    block_q = min(block_q, t)
-    block_kv = min(block_kv, t)
-    assert t % block_q == 0 and t % block_kv == 0, (t, block_q, block_kv)
+    # d-padding with zero feature columns is exact (adds 0 to every logit
+    # and the sliced-off output columns are never read); the softmax scale
+    # must stay 1/sqrt(sqrt(d_true)).
     scale = 1.0 / math.sqrt(math.sqrt(d))
-    kernel = functools.partial(_flash_kernel, block_kv=block_kv, scale=scale)
-    return pl.pallas_call(
+    d_pad = -d % 8
+    # T-padding: round up to a block multiple; padded KEY slots are masked
+    # to -inf inside the kernel, padded QUERY rows compute garbage that the
+    # final slice drops.
+    block_q = min(block_q, _round_up(t, 8))
+    block_kv = min(block_kv, _round_up(t, 8))
+    t_pad = -t % (block_q * block_kv // math.gcd(block_q, block_kv))
+    if d_pad or t_pad:
+        pad = [(0, 0), (0, t_pad), (0, d_pad)]
+        q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
+    tp = t + t_pad
+    kernel = functools.partial(_flash_kernel, block_kv=block_kv, scale=scale,
+                               valid_t=t)
+    out = pl.pallas_call(
         kernel,
-        grid=(b, t // block_q),
+        grid=(b, tp // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, block_q, d + d_pad), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, tp, d + d_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, tp, d + d_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, block_q, d + d_pad), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, tp, d + d_pad), q.dtype),
         interpret=interpret,
     )(q, k, v)
+    if d_pad or t_pad:
+        out = out[:, :t, :d]
+    return out
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m

@@ -12,7 +12,11 @@ import os
 parser = argparse.ArgumentParser(description="training")
 parser.add_argument("--sde", default="vesde", choices=["vpsde", "vesde", "ddpm"])
 parser.add_argument("--base_path", default="./outputs/score_based_baseline")
-parser.add_argument("--train_model_on", default="ellipses", choices=["ellipses"])
+parser.add_argument("--train_model_on", default="ellipses",
+                    choices=["ellipses", "aapm"],
+                    help="aapm trains the learn_sigma (out_channels=2) "
+                    "AAPM-config model on AAPM_DATA_PATH slices (extension: "
+                    "the reference's AAPM prior arrives pretrained)")
 parser.add_argument("--epochs", default=None, help="override config epochs")
 parser.add_argument("--steps_per_epoch", default=None,
                     help="override steps per epoch (default: dataset length / batch)")
@@ -86,11 +90,16 @@ def coordinator(args):
     import numpy as np
 
     import diffusion_models_dev_project_tpu.factory as F
-    from diffusion_models_dev_project_tpu.configs.disk_ellipses_configs import get_config
     from diffusion_models_dev_project_tpu.parallel.mesh import make_mesh
     from diffusion_models_dev_project_tpu.training.trainer import train_score_model
     from diffusion_models_dev_project_tpu.utils.checkpoint import Checkpointer
     from diffusion_models_dev_project_tpu.utils.reporting import write_report
+
+    if args.train_model_on == "aapm":
+        from diffusion_models_dev_project_tpu.configs.aapm_configs import get_config
+    else:
+        from diffusion_models_dev_project_tpu.configs.disk_ellipses_configs import (
+            get_config)
 
     config = get_config(args.sde)
     if args.im_size is not None:
@@ -134,7 +143,8 @@ def coordinator(args):
         os.makedirs(log_dir, exist_ok=True)
     else:
         # versioned run dir (reference run_score_based_models_train.py:59-69)
-        log_dir = os.path.join(args.base_path, "DiskEllipses", config.sde.type)
+        ds_name = "AAPM" if args.train_model_on == "aapm" else "DiskEllipses"
+        log_dir = os.path.join(args.base_path, ds_name, config.sde.type)
         os.makedirs(log_dir, exist_ok=True)
         version_num = 1
         while os.path.isdir(os.path.join(log_dir, f"version_{version_num:02d}")):

@@ -38,7 +38,11 @@ parser.add_argument("--num_steps", default=1000, type=int)
 parser.add_argument("--eta", default="0.15",
                     help="DDIM eta for the DDS stage; comma-separated list "
                     "runs one reconstruction per value (shared operator)")
-parser.add_argument("--gamma", default=0.01, type=float)
+parser.add_argument("--gamma", default="0.01",
+                    help="DDS gamma; comma-separated list sweeps")
+parser.add_argument("--cg_iter", default="5",
+                    help="CG iterations per DDS step; comma-separated list "
+                    "sweeps (each combo re-jits one scan)")
 parser.add_argument("--workdir", default="outputs/walnut_full")
 args = parser.parse_args()
 
@@ -190,23 +194,32 @@ def main():
                                                 load_model=True)
         rt = rt_dense
         obs, _, _ = results["dense"]
+        best = (-1e9, None)
         for eta in (float(e) for e in str(args.eta).split(",")):
-            sampler = F.get_standard_sampler(
-                "dds", None, sde, rt, obs, num_steps=args.num_steps,
-                im_shape=(256, 256, 1), gamma=args.gamma, eta=eta, cg_iter=5,
-                score_apply=lambda p, x, t: model.apply({"params": p}, x, t),
-                score_params=params)
-            t0 = time.time()
-            x, _ = sampler.sample(jax.random.PRNGKey(7))
-            x = np.clip(np.asarray(x[0, :, :, 0]), 0, 1)
-            dt = time.time() - t0
-            p, s = PSNR(x, gt_model), SSIM(x, gt_model)
-            print(f"[dds eta={eta}] walnut-protocol reconstruction: "
-                  f"{p:.2f} dB / {s:.4f} SSIM in {dt:.1f}s "
-                  f"({args.num_steps} steps)  "
-                  f"vs FDK {results['dense'][2]:.2f} dB")
-            np.savez(os.path.join(args.workdir, f"dds_recon_eta{eta}.npz"),
-                     recon=x, gt=gt_model)
+            for gamma in (float(g) for g in str(args.gamma).split(",")):
+                for cg_iter in (int(c) for c in str(args.cg_iter).split(",")):
+                    sampler = F.get_standard_sampler(
+                        "dds", None, sde, rt, obs, num_steps=args.num_steps,
+                        im_shape=(256, 256, 1), gamma=gamma, eta=eta,
+                        cg_iter=cg_iter,
+                        score_apply=lambda p, x, t: model.apply({"params": p}, x, t),
+                        score_params=params)
+                    t0 = time.time()
+                    x, _ = sampler.sample(jax.random.PRNGKey(7))
+                    x = np.clip(np.asarray(x[0, :, :, 0]), 0, 1)
+                    dt = time.time() - t0
+                    p, s = PSNR(x, gt_model), SSIM(x, gt_model)
+                    print(f"[dds eta={eta} gamma={gamma} cg={cg_iter}] "
+                          f"{p:.2f} dB / {s:.4f} SSIM in {dt:.1f}s "
+                          f"({args.num_steps} steps)  "
+                          f"vs FDK {results['dense'][2]:.2f} dB", flush=True)
+                    if p > best[0]:
+                        best = (p, (eta, gamma, cg_iter))
+                        np.savez(os.path.join(args.workdir, "dds_recon_best.npz"),
+                                 recon=x, gt=gt_model, eta=eta, gamma=gamma,
+                                 cg_iter=cg_iter, psnr=p, ssim=s)
+        if best[1] is not None:
+            print(f"[sweep best] {best[0]:.2f} dB at eta/gamma/cg = {best[1]}")
 
 
 if __name__ == "__main__":

@@ -19,6 +19,21 @@ def test_flash_matches_reference(t, d):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("t,d", [(300, 40), (100, 20), (257, 64), (64, 5)])
+def test_flash_pads_nonstandard_shapes(t, d):
+    """T that doesn't divide the block size and d not a multiple of 8 are
+    padded inside the kernel (key slots masked, feature zeros exact) —
+    VERDICT r3 item 8."""
+    rng = np.random.default_rng(2)
+    q, k, v = (jnp.asarray(rng.normal(size=(2, t, d)).astype(np.float32))
+               for _ in range(3))
+    ref = attention_reference(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    assert out.shape == (2, t, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_flash_matches_unet_attention_block():
     """The kernel reproduces the UNet AttentionBlock's inner attention
     (legacy head-split conventions, unet.py:330-360)."""

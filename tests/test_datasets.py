@@ -34,6 +34,14 @@ def test_aapm_split_matches_reference_arithmetic(tmp_path):
     assert x.shape == (8, 8, 1) and x.dtype == np.float32
     assert float(x[0, 0, 0]) == 16.0            # 3rd every-8th slice
 
+    # train fold (extension): every non-test slice not in the val fold;
+    # the three folds partition the file list
+    train = AAPMDataset("train", str(tmp_path))
+    assert set(train.slices) == set(files) - set(want_test) - set(want_val)
+    assert len(train) == 100 - 13 - 3
+    b = next(train.batches(4, augment=True))
+    assert b.shape == (4, 8, 8, 1)
+
 
 def test_ellipse_dataset_deterministic_per_fold():
     a = DiskDistributedEllipsesDataset((32, 32), length=4, fixed_seed=1,
