@@ -59,27 +59,8 @@ from diffusion_models_dev_project_tpu.physics.walnut import (  # noqa: E402
     get_walnut_2d_ray_trafo, load_masked_ray_trafo_matrix, matrix_filename)
 from diffusion_models_dev_project_tpu.physics.simulation import simulate  # noqa: E402
 from diffusion_models_dev_project_tpu.utils.metrics import PSNR, SSIM  # noqa: E402
-
-# CWI walnut scanner: SOD 66 mm, SDD 199 mm, 0.1496 mm pixels
-# (the measured .geom vectors encode exactly this orbit + jitter)
-SOD, SDD, PIX = 66.0, 199.0, 0.1496
-ASS, CSS = 20, 6                     # reference walnut_configs.py:21-22
-
-
-def walnut_phantom(n=501):
-    """Walnut-like 2D phantom: shell, interior lobes, air gaps."""
-    yy, xx = np.meshgrid(np.linspace(-1, 1, n), np.linspace(-1, 1, n),
-                         indexing="ij")
-    r2 = xx ** 2 + (yy * 1.15) ** 2
-    img = np.zeros((n, n), np.float32)
-    img[r2 < 0.72 ** 2] = 0.55                           # shell
-    img[r2 < 0.62 ** 2] = 0.25                           # interior
-    th = np.arctan2(yy, xx)
-    lobes = 0.28 * (np.cos(2 * th) ** 2) * (r2 < 0.55 ** 2)
-    img += lobes.astype(np.float32)
-    img[((xx - 0.15) ** 2 + yy ** 2) < 0.08 ** 2] = 0.02  # air pocket
-    img[(xx ** 2 + (yy + 0.3) ** 2) < 0.05 ** 2] = 0.02
-    return np.clip(img, 0, 1)
+from scripts._walnut_common import (  # noqa: E402
+    ASS, CSS, PIX, SDD, SOD, walnut_phantom)
 
 
 def fetch(x):
@@ -92,12 +73,9 @@ def main():
     vecs = circular_cone_vecs(1200, src_radius=SOD, det_radius=SDD - SOD,
                               det_spacing=(PIX, PIX))
 
-    # The shipped SINGLE_SLICE_CONFIGS encode the REAL scanner's detector
-    # row offset (slice_offset=3 against rows 474..482); the synthetic
-    # circular orbit is perfectly centered, so use the centered equivalent —
-    # central slice of a 9-slice slab against the 9 detector-center rows.
-    slice_cfg = dict(num_slices=9, slice_offset=0, num_proj_rows=9,
-                     first_proj_row=(972 - 9) // 2)
+    # centered single-slice config for the synthetic circular orbit —
+    # rationale in scripts/_walnut_common.py
+    from scripts._walnut_common import SLICE_CFG as slice_cfg
 
     mat_file = os.path.join(args.workdir, matrix_filename(1, 2, ASS, CSS))
     fresh = not os.path.exists(mat_file)
