@@ -65,6 +65,14 @@ def main():
     p.add_argument("--cg_precision", default="high",
                    choices=["default", "high", "highest"],
                    help="matmul precision of the CG data-consistency applies")
+    p.add_argument("--params_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="UNet weight STORAGE dtype: bfloat16 halves the "
+                   "per-forward HBM weight traffic (compute is bf16 either "
+                   "way; quality parity measured in BENCH.md r4)")
+    p.add_argument("--small_conv_matmul", default=0, type=int,
+                   help="H*W threshold below which 3x3 convs run as im2col "
+                   "matmuls (see UNetConfig.small_conv_matmul); 0 = off")
     args = p.parse_args()
 
     trained_params = None
@@ -76,10 +84,15 @@ def main():
                      channel_mult=(1, 1, 2, 2, 4, 4), num_res_blocks=1,
                      attention_resolutions=(16,), num_heads=4,
                      num_head_channels=64, use_scale_shift_norm=True,
-                     resblock_updown=True, dtype="bfloat16")
+                     resblock_updown=True, dtype="bfloat16",
+                     small_conv_matmul=args.small_conv_matmul)
     model = UNetModel(cfg)
     params = (trained_params if trained_params is not None
               else _random_params(model, cfg))
+    if args.params_dtype == "bfloat16":
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            params)
 
     sde = VESDE(sigma_min=0.01, sigma_max=100.0)
     trafo = make_parallel_beam_trafo((256, 256), 60)
@@ -143,6 +156,8 @@ def main():
         "gflops_per_step": gflops_per_step,
         "weights": "trained" if trained_params is not None else "random",
         "model_channels": model_channels,
+        "params_dtype": args.params_dtype,
+        "small_conv_matmul": args.small_conv_matmul,
     }))
 
 

@@ -58,6 +58,12 @@ class UNetConfig:
     # attention implementation: "einsum" | "flash" | "auto" (flash Pallas
     # kernel on TPU once the token count reaches 1024, i.e. 512^2 images)
     attention_impl: str = "auto"
+    # 3x3 stride-1 convs whose spatial extent H*W is <= this threshold are
+    # evaluated as ONE im2col matmul instead of XLA's conv (identical math &
+    # params; see MatmulConv3x3).  XLA:TPU's conv at tiny spatial extents
+    # (8², 16² inside the 256² UNet) runs far off the weight-bandwidth
+    # roofline; 0 disables (always XLA conv).
+    small_conv_matmul: int = 0
     # Test-time LoRA adaptation (reference lora.py:282-357): rank 0 disables.
     # When enabled, low-rank branches are added to every conv/dense inside
     # ResBlock/AttentionBlock modules of the included block groups; their
@@ -257,8 +263,12 @@ class GroupNorm32(nn.Module):
 
 
 def _conv(out_ch, kernel=3, stride=1, name=None, zero_init=False, dtype=jnp.float32,
-          precision=None):
+          precision=None, small_matmul=0):
     init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
+    if small_matmul and kernel == 3 and stride == 1:
+        return MatmulConv3x3(out_ch, threshold=int(small_matmul),
+                             zero_init=zero_init, name=name, dtype=dtype,
+                             precision=precision)
     # stride-2 3x3 convs use explicit symmetric padding 1 (torch semantics);
     # XLA "SAME" pads asymmetrically for even inputs, which would break
     # checkpoint parity for the Downsample op (reference unet.py:124-140).
@@ -268,6 +278,53 @@ def _conv(out_ch, kernel=3, stride=1, name=None, zero_init=False, dtype=jnp.floa
         pad = "VALID"
     return nn.Conv(out_ch, (kernel, kernel), strides=(stride, stride), padding=pad,
                    kernel_init=init, name=name, dtype=dtype, precision=precision)
+
+
+class MatmulConv3x3(nn.Module):
+    """3x3 stride-1 conv that dispatches to an im2col matmul at small
+    spatial extents (H*W <= `threshold`), else to XLA's conv.
+
+    Parameter structure and math are identical to the nn.Conv that `_conv`
+    otherwise builds (kernel HWIO + bias, zero padding 1), so checkpoints
+    are interchangeable and golden torch-parity tests cover both paths.
+    Rationale: XLA:TPU schedules the 8²/16² convs of the 256² UNet far off
+    the weight-bandwidth roofline; a single (H·W, 9·Cin) x (9·Cin, Cout)
+    dot keeps the MXU streaming the weight matrix instead
+    (scripts/profile_unet_scan.py measurements, BENCH.md r4)."""
+
+    features: int
+    threshold: int = 0
+    zero_init: bool = False
+    dtype: jnp.dtype = jnp.float32
+    precision: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        init = (nn.initializers.zeros_init() if self.zero_init
+                else nn.initializers.lecun_normal())
+        kernel = self.param("kernel", init, (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        b, h, w, _ = x.shape
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        if h * w <= self.threshold:
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            # tap order (di, dj, cin) matches the row-major flatten of the
+            # HWIO kernel below — exact conv semantics, zero padding 1
+            cols = jnp.concatenate(
+                [xp[:, i:i + h, j:j + w, :] for i in range(3)
+                 for j in range(3)], axis=-1)
+            out = jax.lax.dot_general(
+                cols.reshape(b * h * w, 9 * cin),
+                kernel.reshape(9 * cin, self.features),
+                (((1,), (0,)), ((), ())), precision=self.precision)
+            return out.reshape(b, h, w, self.features) + bias
+        out = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=self.precision)
+        return out + bias
 
 
 def _upsample_nearest(x):
@@ -356,6 +413,7 @@ class ResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     precision: object = None
     lora_rank: int = 0
+    small_conv_matmul: int = 0
 
     @nn.compact
     def __call__(self, x, emb, *, deterministic: bool = True, lora_scale=1.0):
@@ -369,7 +427,8 @@ class ResBlock(nn.Module):
         elif s.mode == "down":
             h = _avg_pool2(h)
             x = _avg_pool2(x)
-        h1 = _conv(s.out_ch, name="conv1", dtype=self.dtype, precision=self.precision)(h)
+        h1 = _conv(s.out_ch, name="conv1", dtype=self.dtype, precision=self.precision,
+                   small_matmul=self.small_conv_matmul)(h)
         if r:
             h1 = h1 + LoRAConv(s.out_ch, r, name="conv1_lora",
                                precision=self.precision)(h, lora_scale)
@@ -392,7 +451,8 @@ class ResBlock(nn.Module):
         h = jax.nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h2 = _conv(s.out_ch, name="conv2", zero_init=True, dtype=self.dtype, precision=self.precision)(h)
+        h2 = _conv(s.out_ch, name="conv2", zero_init=True, dtype=self.dtype,
+                   precision=self.precision, small_matmul=self.small_conv_matmul)(h)
         if r:
             h2 = h2 + LoRAConv(s.out_ch, r, name="conv2_lora",
                                precision=self.precision)(h, lora_scale)
@@ -468,6 +528,7 @@ class Sample(nn.Module):
     spec: SampleSpec
     dtype: jnp.dtype = jnp.float32
     precision: object = None
+    small_conv_matmul: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -476,7 +537,8 @@ class Sample(nn.Module):
             x = _upsample_nearest(x)
             if s.use_conv:
                 x = _conv(s.out_ch, name="conv", dtype=self.dtype,
-                          precision=self.precision)(x)
+                          precision=self.precision,
+                          small_matmul=self.small_conv_matmul)(x)
             return x
         if s.use_conv:
             return _conv(s.out_ch, stride=2, name="conv", dtype=self.dtype,
@@ -509,6 +571,7 @@ class UNetModel(nn.Module):
             return ResBlock(spec, self.cfg.model_channels * 4, self.cfg.dropout,
                             self.cfg.use_scale_shift_norm, dtype=dtype,
                             precision=prec, lora_rank=self._lora_rank_for(name),
+                            small_conv_matmul=self.cfg.small_conv_matmul,
                             name=name)
         if isinstance(spec, AttnSpec):
             return AttentionBlock(spec, dtype=dtype, precision=prec,
@@ -516,7 +579,8 @@ class UNetModel(nn.Module):
                                   attention_impl=self.cfg.attention_impl,
                                   name=name)
         if isinstance(spec, SampleSpec):
-            return Sample(spec, dtype=dtype, precision=prec, name=name)
+            return Sample(spec, dtype=dtype, precision=prec,
+                          small_conv_matmul=self.cfg.small_conv_matmul, name=name)
         if isinstance(spec, ConvSpec):
             return _conv(spec.out_ch, name=name, dtype=dtype, precision=prec)
         raise TypeError(spec)

@@ -152,3 +152,25 @@ def test_create_model_config_matches_reference_derivations():
 
     with _pytest.raises(ValueError):
         create_model_config(mk(96))
+
+
+def test_small_conv_matmul_forward_parity():
+    """The im2col matmul path for small-spatial 3x3 convs is numerically
+    the conv it replaces: same params, same forward (fp32, CPU exact up to
+    reduction order).  threshold=32*32 flips EVERY 3x3 stride-1 conv of the
+    32² TINY model onto the matmul path."""
+    model, params = _init(TINY)
+    cfg2 = UNetConfig(**{**TINY.__dict__, "small_conv_matmul": 32 * 32})
+    model2 = UNetModel(cfg2)
+    # identical param structure: the matmul module declares the same
+    # kernel/bias params as nn.Conv
+    p2 = model2.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)),
+                     jnp.ones((1,)))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 1))
+    t = jnp.ones((2,)) * 0.4
+    ref = model.apply(params, x, t)
+    out = model2.apply(params, x, t)     # SAME params, new path
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
