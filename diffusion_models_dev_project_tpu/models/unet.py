@@ -117,6 +117,8 @@ def create_model_config(model_cfg) -> UNetConfig:
         use_scale_shift_norm=getattr(model_cfg, "use_scale_shift_norm", False),
         resblock_updown=getattr(model_cfg, "resblock_updown", False),
         dtype=getattr(model_cfg, "dtype", "float32"),
+        attention_impl=getattr(model_cfg, "attention_impl", "auto"),
+        small_conv_matmul=int(getattr(model_cfg, "small_conv_matmul", 0)),
     )
 
 

@@ -144,6 +144,12 @@ def _tail_average_fp32(avg_buf):
                      / k).astype(np.float32), *avg_buf)
 
 
+# whole-tree bf16 cast as ONE compiled program (eager per-leaf casts cost
+# ~0.5 s each through the TPU relay — minutes for a 200-leaf UNet)
+_cast_bf16_jit = jax.jit(
+    lambda t: jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), t))
+
+
 def train_score_model(
     model_apply: Callable,
     init_params,
@@ -263,15 +269,21 @@ def train_score_model(
 
         if checkpointer is not None and (
                 epoch % save_model_every_n_epoch == 0 or epoch == epochs - 1):
+            t_save = time.time()
             checkpointer.save(state, step=int(state.step))
+            log.scalar("save/orbax_seconds", time.time() - t_save,
+                       int(state.step))
+            shadow_dev = (state.ema["shadow"] if isinstance(state.ema, dict)
+                          else state.ema.shadow)
             shadow = None
-            if avg_buf is not None or probe_hook is not None:
-                shadow = jax.device_get(
-                    state.ema["shadow"] if isinstance(state.ema, dict)
-                    else state.ema.shadow)
-                shadow = jax.tree_util.tree_map(
-                    lambda a: np.asarray(a, np.float32), shadow)
             if avg_buf is not None:
+                # host copy needed only for the rolling average; the probe
+                # uses the ON-DEVICE shadow directly (a device_get +
+                # re-upload of 374 MB through the TPU relay cost minutes
+                # per save in round 4)
+                shadow = jax.tree_util.tree_map(
+                    lambda a: np.asarray(a, np.float32),
+                    jax.device_get(shadow_dev))
                 # keep snapshots at full precision: between consecutive saves
                 # the EMA moves by ~1e-3..1e-4 relative — at/below fp16
                 # resolution, so quantizing BEFORE the mean would make the
@@ -282,18 +294,44 @@ def train_score_model(
             if probe_hook is not None:
                 import json
 
-                candidates = [("ema", shadow)]
+                # every candidate is probed at bf16: the EMA stays ON
+                # DEVICE (no 374 MB device_get + re-upload through the
+                # relay; the cast is ONE jitted program — per-leaf eager
+                # casts cost ~0.5 s each over the relay), the host-averaged
+                # candidate uploads at half width (numpy-side ml_dtypes
+                # cast), and the uniform dtype keeps ONE compiled probe
+                # program (an fp32/bf16 mix would retrace the 200-step
+                # DDS scan per candidate).  The score model computes in
+                # bf16 anyway, so probe RANKING is unaffected.
+                def _host_shadow():
+                    # full-precision source for the export (the bf16 copy is
+                    # only the probe transport); fetched lazily — usually the
+                    # avg_buf host copy already exists
+                    if shadow is not None:
+                        return shadow
+                    return jax.tree_util.tree_map(
+                        lambda a: np.asarray(a, np.float32),
+                        jax.device_get(shadow_dev))
+
+                candidates = [("ema", _cast_bf16_jit(shadow_dev),
+                               _host_shadow)]
                 if avg_buf is not None and len(avg_buf) >= 2:
-                    candidates.append((f"avg_tail{len(avg_buf)}",
-                                       _tail_average_fp32(avg_buf)))
-                for tag, weights in candidates:
+                    avg32 = _tail_average_fp32(avg_buf)
+                    avg_bf16 = jax.tree_util.tree_map(
+                        lambda a: a.astype(jnp.bfloat16), avg32)
+                    candidates.append((f"avg_tail{len(avg_buf)}", avg_bf16,
+                                       lambda: avg32))
+                for tag, weights, export_src in candidates:
+                    t_probe = time.time()
                     score = float(probe_hook(weights))
+                    log.scalar(f"probe/{tag}_seconds", time.time() - t_probe,
+                               int(state.step))
                     log.scalar(f"probe/{tag}", score, int(state.step))
                     if best_probe is None or score < best_probe:
                         best_probe = score
                         _export_msgpack(
                             jax.tree_util.tree_map(
-                                lambda a: a.astype(np.float16), weights),
+                                lambda a: a.astype(np.float16), export_src()),
                             os.path.join(log_dir, "best_ema.msgpack.npz"))
                         with open(os.path.join(log_dir, "best_ema.json"), "w") as f:
                             json.dump({"score": score, "step": int(state.step),

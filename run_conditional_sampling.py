@@ -54,6 +54,15 @@ parser.add_argument("--num_channels", default=None,
 parser.add_argument("--sigma_max", default=None,
                     help="override sde.sigma_max — must match the value the "
                     "checkpoint was trained with (extension)")
+parser.add_argument("--small_conv_matmul", default=0, type=int,
+                    help="H*W threshold below which the UNet's 3x3 convs "
+                    "run as im2col matmuls (perf; identical math — see "
+                    "UNetConfig.small_conv_matmul); 0 = XLA conv everywhere")
+parser.add_argument("--params_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="UNet weight storage dtype; bfloat16 halves the "
+                    "per-forward HBM weight traffic (quality parity "
+                    "measured in BENCH.md r4)")
 
 parser.add_argument("--shard_images", default=0,
                     help="stack N images on the sampler's batch axis per "
@@ -87,6 +96,8 @@ def coordinator(args):
             c.data.im_size = int(args.im_size)
     if args.num_channels is not None:
         config.model.num_channels = int(args.num_channels)
+    if args.small_conv_matmul:
+        config.model.small_conv_matmul = int(args.small_conv_matmul)
     if args.sigma_max is not None:
         config.sde.sigma_max = float(args.sigma_max)
     try:
@@ -104,6 +115,10 @@ def coordinator(args):
     model, params, score_fn = F.get_standard_score(
         config, sde, use_ema=args.ema, load_model=args.load_path is not None,
         ckpt_path=args.load_path)
+    if args.params_dtype == "bfloat16":
+        params = jax.tree_util.tree_map(
+            lambda a: (a.astype(jnp.bfloat16)
+                       if a.dtype == jnp.float32 else a), params)
     ray_trafo = F.get_standard_ray_trafo(dataconfig)
     dataset = F.get_standard_dataset(dataconfig, ray_trafo)
     n_params = sum(int(np.prod(p.shape))

@@ -79,11 +79,15 @@ parser.add_argument("--keep_best_probe", nargs="?", const="dds", default=None,
                     "sigma-decades (cheaper, indirect)")
 parser.add_argument("--debug_nans", action="store_true",
                     help="enable jax_debug_nans (fail at the first NaN)")
+parser.add_argument("--platform", default=None, choices=[None, "cpu"],
+                    help="force the CPU backend (smoke runs / CI)")
 
 
 def coordinator(args):
     import jax
 
+    if getattr(args, "platform", None) == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     if getattr(args, "debug_nans", False):
         # NaN debugging (SURVEY.md §5.2): fail fast at the producing op
         jax.config.update("jax_debug_nans", True)

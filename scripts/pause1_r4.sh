@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-4 pause 1: perf variant grid + 512² e2e + walnut sweep + adapted×walnut.
+# Run AFTER scripts/tpu_pause.sh (chip must be free).  ~1.5 h.
+# Usage: bash scripts/pause1_r4.sh 2>&1 | tee /tmp/pause1_r4.log
+set -x
+cd /root/repo
+export PYTHONPATH=/root/repo:$PYTHONPATH
+
+# 1. scan-amortized UNet variant grid + true sampler overhead (~12 min)
+python scripts/pause_perf_r4.py
+
+# 2. bench the combined perf candidates (~12 min: 2 compiles)
+python bench.py --params_dtype bfloat16 --small_conv_matmul 1024
+python bench.py --params_dtype bfloat16 --small_conv_matmul 0
+
+# 3. 512² end-to-end DDS with flash attention live (~12 min)
+python scripts/smoke_512.py --num_steps 100
+
+# 4. walnut gamma/cg sweep at eta=0.15 with the DDPM prior (~40 min)
+python scripts/walnut_full_scale.py --sde ddpm \
+    --ckpt checkpoints/flagship_ddpm_256_ema.msgpack.npz \
+    --eta 0.15 --gamma 0.005,0.01,0.04,0.1 --cg_iter 1,5 --num_steps 1000
+
+# 5. adapted (LoRA-steered) sampling on the walnut measurement (~15 min)
+python scripts/walnut_adapted.py \
+    --ckpt checkpoints/flagship_ddpm_256_ema.msgpack.npz --sde ddpm \
+    --eta 0.85 --num_steps 50 --num_optim_step 10
+
+echo PAUSE1_DONE
