@@ -43,6 +43,10 @@ parser.add_argument("--gamma", default="0.01",
 parser.add_argument("--cg_iter", default="5",
                     help="CG iterations per DDS step; comma-separated list "
                     "sweeps (each combo re-jits one scan)")
+parser.add_argument("--travel_length", default=1, type=int,
+                    help="DDPM time-travel jump length (r3: +0.75 dB on "
+                    "ellipses at 10)")
+parser.add_argument("--travel_repeat", default=1, type=int)
 parser.add_argument("--workdir", default="outputs/walnut_full")
 args = parser.parse_args()
 
@@ -179,7 +183,8 @@ def main():
                     sampler = F.get_standard_sampler(
                         "dds", None, sde, rt, obs, num_steps=args.num_steps,
                         im_shape=(256, 256, 1), gamma=gamma, eta=eta,
-                        cg_iter=cg_iter,
+                        cg_iter=cg_iter, travel_length=args.travel_length,
+                        travel_repeat=args.travel_repeat,
                         score_apply=lambda p, x, t: model.apply({"params": p}, x, t),
                         score_params=params)
                     t0 = time.time()
