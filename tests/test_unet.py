@@ -174,3 +174,32 @@ def test_small_conv_matmul_forward_parity():
     out = model2.apply(params, x, t)     # SAME params, new path
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_create_model_config_threads_perf_fields():
+    import ml_collections
+
+    from diffusion_models_dev_project_tpu.models.unet import create_model_config
+
+    m = ml_collections.ConfigDict()
+    m.image_size = 256
+    m.in_channels = 1
+    m.out_channels = 1
+    m.num_channels = 128
+    m.num_res_blocks = 1
+    m.attention_resolutions = "16"
+    m.num_heads = 4
+    m.num_head_channels = 64
+    m.num_heads_upsample = -1
+    m.use_scale_shift_norm = True
+    m.resblock_updown = True
+    m.channel_mult = ""
+    m.attention_impl = "flash"
+    m.small_conv_matmul = 1024
+    cfg = create_model_config(m)
+    assert cfg.attention_impl == "flash"
+    assert cfg.small_conv_matmul == 1024
+    # defaults when the fields are absent
+    del m.attention_impl, m.small_conv_matmul
+    cfg = create_model_config(m)
+    assert cfg.attention_impl == "auto" and cfg.small_conv_matmul == 0
