@@ -9,9 +9,11 @@ export PYTHONPATH=/root/repo:$PYTHONPATH
 # 1. scan-amortized UNet variant grid + true sampler overhead (~12 min)
 python scripts/pause_perf_r4.py
 
-# 2. bench the combined perf candidates (~12 min: 2 compiles)
+# 2. bench the combined perf candidates (~18 min: 3 compiles)
 python bench.py --params_dtype bfloat16 --small_conv_matmul 1024
 python bench.py --params_dtype bfloat16 --small_conv_matmul 0
+# aggregate serving throughput: 8 chains per scan on one chip
+python bench.py --params_dtype bfloat16 --small_conv_matmul 1024 --batch 8
 
 # 3. 512² end-to-end DDS with flash attention live (~12 min)
 python scripts/smoke_512.py --num_steps 100
