@@ -9,6 +9,9 @@ export PYTHONPATH=/root/repo:$PYTHONPATH
 # 1. scan-amortized UNet variant grid + true sampler overhead (~12 min)
 python scripts/pause_perf_r4.py
 
+# 1b. per-block forward profile (which blocks sit off the roofline)
+python scripts/profile_unet_blocks.py
+
 # 2. bench the combined perf candidates (~18 min: 3 compiles)
 python bench.py --params_dtype bfloat16 --small_conv_matmul 1024
 python bench.py --params_dtype bfloat16 --small_conv_matmul 0
