@@ -6,6 +6,11 @@ set -x
 cd /root/repo
 export PYTHONPATH=/root/repo:$PYTHONPATH
 
+# 0. probe-scale calibration: score the SHIPPED checkpoint (known 32.14 dB
+# at the 1000-step protocol) on the trainer's exact 200-step probe
+python scripts/probe_score.py --ckpt checkpoints/flagship_vesde_256_ema.msgpack.npz
+python scripts/probe_score.py --ckpt outputs/flagship_r4/best_ema.msgpack.npz
+
 # 1. scan-amortized UNet variant grid + true sampler overhead (~12 min)
 python scripts/pause_perf_r4.py
 
@@ -30,5 +35,13 @@ python scripts/walnut_full_scale.py --sde ddpm \
 python scripts/walnut_adapted.py \
     --ckpt checkpoints/flagship_ddpm_256_ema.msgpack.npz --sde ddpm \
     --eta 0.85 --num_steps 50 --num_optim_step 10
+
+# 6. CPU smoke of the stint-3 combination (vpsde x learn_sigma x aapm data)
+# before it gets chip time: 64^2, 2 epochs x 5 steps, probe + avg_tail on
+AAPM_DATA_PATH=/root/repo/outputs/aapm_synth_64 \
+    python run_score_based_models_train.py --sde vpsde --train_model_on aapm \
+    --platform cpu --im_size 64 --num_channels 32 --batch_size 2 \
+    --steps_per_epoch 5 --epochs 2 --save_every_n_epoch 1 --avg_tail 2 \
+    --keep_best_probe dds --run_dir outputs/aapm_smoke
 
 echo PAUSE1_DONE
