@@ -38,6 +38,9 @@ parser.add_argument("--penalty", default=1.0, type=float)
 parser.add_argument("--cg_iter", default=5, type=int)
 parser.add_argument("--cg_precision", default="high",
                     choices=["default", "high", "highest"])
+parser.add_argument("--small_conv_matmul", default=0, type=int,
+                    help="route <=N-pixel 3x3 convs through im2col matmuls "
+                    "(UNetConfig.small_conv_matmul); 0 = off")
 parser.add_argument("--save_npz", default=None,
                     help="save per-image recon/gt stacks to this .npz")
 parser.add_argument("--trace", action="store_true",
@@ -50,6 +53,8 @@ def main():
     config = get_config(args.sde)
     config.model.num_channels = args.num_channels
     config.model.dtype = args.dtype
+    if args.small_conv_matmul:
+        config.model.small_conv_matmul = int(args.small_conv_matmul)
     config.data.part = "val"                    # the shipped set
     config.ckpt_path = args.ckpt
 

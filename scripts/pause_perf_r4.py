@@ -71,9 +71,10 @@ def unet_variants():
     cfg = UNetConfig(**base)
     model = UNetModel(cfg)
     params32 = jax.jit(model.init)(key, x, t)["params"]
-    params16 = jax.tree_util.tree_map(
+    # one jitted program — an eager tree_map costs ~0.5 s/leaf on the relay
+    params16 = jax.jit(lambda p: jax.tree_util.tree_map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        params32)
+        p))(params32)
     cfg_mm = UNetConfig(**base, small_conv_matmul=1024)
     model_mm = UNetModel(cfg_mm)
     for label, m, p in [
