@@ -65,12 +65,13 @@ def main():
     p.add_argument("--cg_precision", default="high",
                    choices=["default", "high", "highest"],
                    help="matmul precision of the CG data-consistency applies")
-    p.add_argument("--params_dtype", default="float32",
+    p.add_argument("--params_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="UNet weight STORAGE dtype: bfloat16 halves the "
                    "per-forward HBM weight traffic (compute is bf16 either "
-                   "way; quality parity measured in BENCH.md r4)")
-    p.add_argument("--small_conv_matmul", default=0, type=int,
+                   "way; quality parity measured in BENCH.md r4).  Default "
+                   "since r4: the measured-fastest config")
+    p.add_argument("--small_conv_matmul", default=1024, type=int,
                    help="H*W threshold below which 3x3 convs run as im2col "
                    "matmuls (see UNetConfig.small_conv_matmul); 0 = off")
     p.add_argument("--batch", default=1, type=int,
