@@ -69,8 +69,9 @@ def main():
                    choices=["float32", "bfloat16"],
                    help="UNet weight STORAGE dtype: bfloat16 halves the "
                    "per-forward HBM weight traffic (compute is bf16 either "
-                   "way; quality parity measured in BENCH.md r4).  Default "
-                   "since r4: the measured-fastest config")
+                   "way, so only the fp32-kept norm params see rounding).  "
+                   "Default since r4: the measured-fastest config "
+                   "(BENCH.md round 4)")
     p.add_argument("--small_conv_matmul", default=1024, type=int,
                    help="H*W threshold below which 3x3 convs run as im2col "
                    "matmuls (see UNetConfig.small_conv_matmul); 0 = off")
