@@ -127,6 +127,11 @@ class DiffusionSampler:
         # rhs = Aᵀ y precomputed once (exp_utils.py:165,205)
         self.rhs = (ray_trafo.adjoint(observation)
                     if (observation is not None and ray_trafo is not None) else None)
+        # time grid is a pure function of (sde, spec), both fixed here (spec
+        # is frozen) — computing it once in __init__ keeps _step free of
+        # hidden state set as a side effect of ensure_compiled
+        self._time_data = _time_arrays(sde, spec)
+        self._step_size = self._time_data[3]
         self._compiled = None
 
     # ------------------------------------------------------------- steps
@@ -164,8 +169,7 @@ class DiffusionSampler:
         stores the resulting executable back into `self._compiled`.
         """
         spec = self.spec
-        ts, tps, dfs, step_size = _time_arrays(self.sde, spec)
-        self._step_size = step_size
+        ts, tps, dfs, _ = self._time_data
         b = spec.batch_size
         shape = (b, *spec.im_shape)
         gt = self.ground_truth

@@ -54,15 +54,18 @@ parser.add_argument("--num_channels", default=None,
 parser.add_argument("--sigma_max", default=None,
                     help="override sde.sigma_max — must match the value the "
                     "checkpoint was trained with (extension)")
-parser.add_argument("--small_conv_matmul", default=0, type=int,
+parser.add_argument("--small_conv_matmul", default=1024, type=int,
                     help="H*W threshold below which the UNet's 3x3 convs "
                     "run as im2col matmuls (perf; identical math — see "
-                    "UNetConfig.small_conv_matmul); 0 = XLA conv everywhere")
-parser.add_argument("--params_dtype", default="float32",
+                    "UNetConfig.small_conv_matmul); 0 = XLA conv everywhere. "
+                    "Default on since r5 (measured-fastest config, BENCH.md "
+                    "r4/r5)")
+parser.add_argument("--params_dtype", default="bfloat16",
                     choices=["float32", "bfloat16"],
                     help="UNet weight storage dtype; bfloat16 halves the "
-                    "per-forward HBM weight traffic (quality parity "
-                    "measured in BENCH.md r4)")
+                    "per-forward HBM weight traffic (default since r5 so "
+                    "eval and bench run the same UNet config; PSNR-parity "
+                    "check in BENCH.md r5)")
 
 parser.add_argument("--shard_images", default=0,
                     help="stack N images on the sampler's batch axis per "
@@ -116,9 +119,12 @@ def coordinator(args):
         config, sde, use_ema=args.ema, load_model=args.load_path is not None,
         ckpt_path=args.load_path)
     if args.params_dtype == "bfloat16":
-        params = jax.tree_util.tree_map(
+        # one jitted program, donated input — an eager tree_map costs
+        # ~0.5 s/leaf over the TPU relay (CLAUDE.md gotcha)
+        params = jax.jit(lambda p: jax.tree_util.tree_map(
             lambda a: (a.astype(jnp.bfloat16)
-                       if a.dtype == jnp.float32 else a), params)
+                       if a.dtype == jnp.float32 else a), p),
+            donate_argnums=0)(params)
     ray_trafo = F.get_standard_ray_trafo(dataconfig)
     dataset = F.get_standard_dataset(dataconfig, ray_trafo)
     n_params = sum(int(np.prod(p.shape))

@@ -38,9 +38,14 @@ parser.add_argument("--penalty", default=1.0, type=float)
 parser.add_argument("--cg_iter", default=5, type=int)
 parser.add_argument("--cg_precision", default="high",
                     choices=["default", "high", "highest"])
-parser.add_argument("--small_conv_matmul", default=0, type=int,
+parser.add_argument("--small_conv_matmul", default=1024, type=int,
                     help="route <=N-pixel 3x3 convs through im2col matmuls "
-                    "(UNetConfig.small_conv_matmul); 0 = off")
+                    "(UNetConfig.small_conv_matmul); 0 = off. Default on "
+                    "since r5 (measured-fastest config, BENCH.md)")
+parser.add_argument("--params_dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="UNet weight storage dtype (matches bench.py "
+                    "default since r5; PSNR-parity check in BENCH.md r5)")
 parser.add_argument("--save_npz", default=None,
                     help="save per-image recon/gt stacks to this .npz")
 parser.add_argument("--trace", action="store_true",
@@ -61,6 +66,13 @@ def main():
     sde = F.get_standard_sde(config)
     model, params, _ = F.get_standard_score(config, sde, use_ema=True,
                                             load_model=True)
+    if args.params_dtype == "bfloat16":
+        # one jitted program, donated input — an eager tree_map costs
+        # ~0.5 s/leaf over the TPU relay (CLAUDE.md gotcha)
+        params = jax.jit(lambda p: jax.tree_util.tree_map(
+            lambda a: (a.astype(jnp.bfloat16)
+                       if a.dtype == jnp.float32 else a), p),
+            donate_argnums=0)(params)
     trafo = F.get_standard_ray_trafo(config)
     dataset = F.get_standard_dataset(config)
 

@@ -1,10 +1,18 @@
-"""Adapted (steerable-LoRA) sampling ON the walnut cone-beam measurement.
+"""Adapted (steerable-LoRA) sampling on the walnut cone-beam protocol.
+
+NOTE: this is a SYNTHETIC stand-in for the measured CWI data — the
+observation is `walnut_phantom(501)` pushed through the protocol-scale
+cone-beam operator (synthetic centered orbit) plus simulated 5% noise.
+The real scan_geom_corrected.geom vectors and TIFF projections are not
+available in this environment (loaders exist in physics/walnut.py and
+data/walnut.py and are unit-tested against the reference schema).
 
 VERDICT r3 item 4: the reference's adapted CLI accepts `--dataset walnut`
 (`/root/reference/run_adapted_sampling.py:14,39-122`) — steer the
 ellipses-trained 256² prior on the 501²-protocol cone-beam observation
 (60 angles × 128 cols, dense operator on the MXU) with per-image LoRA,
-and compare against plain 1000-step DDS on the SAME measurement.
+and compare against plain DDS at a MATCHED step budget on the SAME
+observation.
 
 Usage:
   PYTHONPATH=. python scripts/walnut_adapted.py --ckpt <orbax dir> \
