@@ -130,7 +130,7 @@ def main():
     jitfn = sampler.ensure_compiled()
     compiled = jitfn.lower(
         key, sampler.score_params, sampler.ray_trafo, sampler.rhs,
-        sampler.observation, sampler.filtbackproj).compile()
+        sampler.observation, sampler.filtbackproj, sampler.dc_sinv).compile()
     sampler._compiled = compiled           # sample() reuses the executable
 
     x, _ = sampler.sample(key)             # warmup
@@ -150,7 +150,7 @@ def main():
 
         flops = jaxpr_flops(jax.make_jaxpr(jitfn)(
             key, sampler.score_params, sampler.ray_trafo, sampler.rhs,
-            sampler.observation, sampler.filtbackproj))
+            sampler.observation, sampler.filtbackproj, sampler.dc_sinv))
         # the unsharded sampler executes on ONE chip; per-chip MFU uses the
         # same denominator convention as steps_per_sec_per_chip below
         mfu_pct = round(100.0 * flops / dt

@@ -149,10 +149,16 @@ class FFTRayTransform:
     # MXU throughput) — use `dataclasses.replace(trafo, precision="high")`
     # inside iterative solvers where the operator is applied many times.
     precision: str = "highest"
+    # fused-Gram tables (Q1, Q2, Q4), each (B, G, Pf, Pf): the detector
+    # stage's own Gram TᵀT = B·(M Mᵀ)·Bᵀ conjugated into the row-frequency
+    # domain, so AᵀA never leaves frequency space between the forward and
+    # adjoint shear pipelines (see `gram`).  None until `with_gram()`.
+    gram_q: Optional[tuple] = None
 
     # --- pytree ----------------------------------------------------------
     def tree_flatten(self):
-        leaves = (self.det_matrix, self.shear_cos, self.shear_sin, self.dft)
+        leaves = (self.det_matrix, self.shear_cos, self.shear_sin, self.dft,
+                  self.gram_q)
         aux = (self.im_shape, self.obs_shape, self.canvas, self.k90s,
                self.inv_perm,
                None if self.angles is None else self.angles.tobytes(),
@@ -165,22 +171,26 @@ class FFTRayTransform:
     def tree_unflatten(cls, aux, leaves):
         (im_shape, obs_shape, canvas, k90s, inv_perm, ang_b, ang_shape,
          fbp_scale, fbp_filter, resize_shape, precision) = aux
+        det_matrix, shear_cos, shear_sin, dft, gram_q = leaves
         angles = None if ang_b is None else np.frombuffer(ang_b).reshape(ang_shape)
-        det_matrix, shear_cos, shear_sin, dft = leaves
         return cls(det_matrix=det_matrix, shear_cos=shear_cos,
                    shear_sin=shear_sin, dft=dft,
                    im_shape=im_shape, obs_shape=obs_shape,
                    canvas=canvas, k90s=k90s, inv_perm=inv_perm, angles=angles,
                    fbp_scale=fbp_scale, fbp_filter=fbp_filter,
-                   resize_shape=resize_shape, precision=precision)
+                   resize_shape=resize_shape, precision=precision,
+                   gram_q=gram_q)
 
     @property
     def model_im_shape(self) -> Tuple[int, int]:
         return self.resize_shape if self.resize_shape is not None else self.im_shape
 
     # --- forward (pure linear function of x) ------------------------------
-    def _apply_flat(self, x: jnp.ndarray) -> jnp.ndarray:
-        """(N, H, W) -> (N, A, D)."""
+    def _front(self, x: jnp.ndarray):
+        """Image -> row-frequency projections: (N, H, W) -> (Zr, Zi), each
+        (B, N, G, Pf).  Shared by `_apply_flat` (which resolves Z to detector
+        samples) and `gram` (which applies the detector Gram in frequency
+        space and transposes this same map back)."""
         P = self.canvas
         _PREC = _PRECISIONS[self.precision]
         h, w = self.im_shape
@@ -188,7 +198,7 @@ class FFTRayTransform:
         base = jnp.zeros((x.shape[0], P, P), x.dtype)
         base = base.at[:, oy:oy + h, ox:ox + w].set(x)
 
-        Fr, Fi, Br, Bi = self.dft
+        Fr, Fi, _, _ = self.dft
         # static per-chunk quadrant rotations, stacked: (B, N, P, P)
         ims = jnp.stack([jnp.rot90(base, -(k % 4), axes=(-2, -1))
                          for k in self.k90s], axis=0)
@@ -201,6 +211,13 @@ class FFTRayTransform:
               - jnp.einsum("bnpk,bgpk->bngk", Xi, pi, precision=_PREC))
         Zi = (jnp.einsum("bnpk,bgpk->bngk", Xr, pi, precision=_PREC)
               + jnp.einsum("bnpk,bgpk->bngk", Xi, pr, precision=_PREC))
+        return Zr, Zi
+
+    def _apply_flat(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(N, H, W) -> (N, A, D)."""
+        _PREC = _PRECISIONS[self.precision]
+        _, _, Br, Bi = self.dft
+        Zr, Zi = self._front(x)
         colsum = (jnp.einsum("bngk,kp->bngp", Zr, Br, precision=_PREC)
                   + jnp.einsum("bngk,kp->bngp", Zi, Bi, precision=_PREC))
         # per-angle sec-scaled detector resampling: (B, N, G, D)
@@ -233,6 +250,79 @@ class FFTRayTransform:
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.apply(x)
+
+    # --- fused Gram: AᵀA without leaving frequency space -------------------
+    def with_gram(self) -> "FFTRayTransform":
+        """Return a copy carrying the fused-Gram tables (see `gram`).
+
+        Writing A = S·T·C with C the image->row-frequency front (`_front`),
+        T = det_interp∘irDFT the per-angle detector resolve and S the static
+        angle-order selection, the Gram is
+
+            AᵀA = Cᵀ · (Tᵀ SᵀS T) · C
+
+        and the middle is a fixed per-angle Pf×Pf real 2x2-block matrix
+        [[Q1, Q2ᵀ], [Q2, Q4]] with Q1 = Br·W·Brᵀ, Q2 = Bi·W·Brᵀ,
+        Q4 = Bi·W·Biᵀ, W = M·Mᵀ (M the slot's detector-interp matrix,
+        zeroed for padded duplicate slots — SᵀS keeps only each angle's
+        first occurrence).  `gram(x)` is then algebraically identical to
+        `adjoint(apply(x))` while skipping the irDFT -> det -> detᵀ -> rDFT
+        round-trip of every CG iteration (6 Gram applies per DDS step,
+        samplers/utils.py:188-189)."""
+        if self.gram_q is not None:
+            return self
+        cached = getattr(self, "_gram_cache", None)
+        if cached is not None:
+            return cached
+        det = np.asarray(self.det_matrix, np.float64)        # (B, G, P, D)
+        _, _, Br, Bi = (np.asarray(m, np.float64) for m in self.dft)
+        nB, nG, P, _ = det.shape
+        # padded duplicate slots contribute to apply() output rows that
+        # inv_perm never selects — zero them out of the Gram middle
+        selected = np.zeros(nB * nG, bool)
+        selected[np.asarray(self.inv_perm, np.int64)] = True
+        Pf = Br.shape[0]
+        q1 = np.zeros((nB, nG, Pf, Pf), np.float32)
+        q2 = np.zeros((nB, nG, Pf, Pf), np.float32)
+        q4 = np.zeros((nB, nG, Pf, Pf), np.float32)
+        for b in range(nB):
+            for g in range(nG):
+                if not selected[b * nG + g]:
+                    continue
+                M = det[b, g]                                # (P, D)
+                t1 = Br @ (M @ (M.T @ Br.T))                 # Br·W·Brᵀ
+                t2 = Bi @ (M @ (M.T @ Br.T))                 # Bi·W·Brᵀ
+                t4 = Bi @ (M @ (M.T @ Bi.T))                 # Bi·W·Biᵀ
+                q1[b, g], q2[b, g], q4[b, g] = t1, t2, t4
+        out = dataclasses.replace(
+            self, gram_q=(jnp.asarray(q1), jnp.asarray(q2), jnp.asarray(q4)))
+        # host-side memo (NOT a pytree leaf): geometry-cached trafos build
+        # their Gram tables once per process, not once per sampler/image
+        self._gram_cache = out
+        return out
+
+    def gram(self, x: jnp.ndarray) -> jnp.ndarray:
+        """AᵀA x, fused (== `adjoint(apply(x))` to round-off).  NHWC."""
+        if self.gram_q is None:
+            return self.adjoint(self.apply(x))
+        _PREC = _PRECISIONS[self.precision]
+        q1, q2, q4 = self.gram_q
+        b, h, w, c = x.shape
+        if self.resize_shape is not None:
+            x = jax.image.resize(x, (b, *self.im_shape, c), method="nearest")
+        flat = x.transpose(0, 3, 1, 2).reshape(b * c, *self.im_shape)
+        Zr, Zi = self._front(flat)
+        Zpr = (jnp.einsum("bngk,bgkj->bngj", Zr, q1, precision=_PREC)
+               + jnp.einsum("bngk,bgkj->bngj", Zi, q2, precision=_PREC))
+        Zpi = (jnp.einsum("bngk,bgjk->bngj", Zr, q2, precision=_PREC)
+               + jnp.einsum("bngk,bgkj->bngj", Zi, q4, precision=_PREC))
+        zero = jax.ShapeDtypeStruct(flat.shape, flat.dtype)
+        (out,) = jax.linear_transpose(self._front, zero)((Zpr, Zpi))
+        out = out.reshape(b, c, *self.im_shape).transpose(0, 2, 3, 1)
+        if self.resize_shape is not None:
+            out = jax.image.resize(out, (b, *self.resize_shape, c),
+                                   method="nearest")
+        return out
 
     def fbp(self, y: jnp.ndarray) -> jnp.ndarray:
         filt = ramp_filter_sinogram(y, filter_name=self.fbp_filter)

@@ -147,6 +147,8 @@ class AdaptedSampler:
         self.sde = sde
         self.spec = spec
         self.adapt = adapt
+        if adapt.dc_type == "cg" and hasattr(ray_trafo, "with_gram"):
+            ray_trafo = ray_trafo.with_gram()    # fused AᵀA for the CG loop
         self.ray_trafo = ray_trafo
         self.observation = observation
         self.ground_truth = ground_truth
@@ -174,7 +176,10 @@ class AdaptedSampler:
         gamma = self.adapt.gamma
         A, At = trafo.apply, trafo.adjoint
         if dc_type == "cg":
-            op = lambda z: z + gamma * At(A(z))
+            if getattr(trafo, "gram_q", None) is not None:
+                op = lambda z: z + gamma * trafo.gram(z)   # fused AᵀA
+            else:
+                op = lambda z: z + gamma * At(A(z))
             return cg(op, xhat0, xhat0 + gamma * rhs, n_iter=n_iter)
         if dc_type == "gd":
             return xhat0 - gamma * At(A(xhat0)) + gamma * rhs

@@ -67,6 +67,12 @@ class SamplerSpec:
     # operator's own precision.  Only operators exposing a `precision` field
     # (the FFT-shear projector) honor it.
     cg_precision: Optional[str] = "high"
+    # data-consistency solver: "cg" = reference semantics (cg_iter CG
+    # iterations, samplers/utils.py:188-189); "woodbury" = exact solve via
+    # the sinogram-space Woodbury identity (ops/woodbury.py) — one
+    # forward+adjoint + one precomputed matmul per step instead of
+    # cg_iter+1 forward+adjoint pairs.  Requires a matrix-backed operator.
+    dc_mode: str = "cg"
 
 
 def _time_arrays(sde: SDE, spec: SamplerSpec):
@@ -118,6 +124,9 @@ class DiffusionSampler:
         self.score_params = score_params
         self.sde = sde
         self.spec = spec
+        if spec.method == "dds" and hasattr(ray_trafo, "with_gram"):
+            # fused AᵀA tables for the CG loop (fft_radon.FFTRayTransform.gram)
+            ray_trafo = ray_trafo.with_gram()
         self.ray_trafo = ray_trafo
         self.observation = observation
         self.ground_truth = ground_truth
@@ -127,6 +136,14 @@ class DiffusionSampler:
         # rhs = Aᵀ y precomputed once (exp_utils.py:165,205)
         self.rhs = (ray_trafo.adjoint(observation)
                     if (observation is not None and ray_trafo is not None) else None)
+        self.dc_sinv = None
+        if spec.method == "dds" and spec.dc_mode == "woodbury":
+            from ..ops.woodbury import build_woodbury_sinv
+
+            assert hasattr(ray_trafo, "matrix"), (
+                "dc_mode='woodbury' needs a matrix-backed operator "
+                "(DenseRayTransform); got " + type(ray_trafo).__name__)
+            self.dc_sinv = build_woodbury_sinv(ray_trafo, spec.gamma)
         # time grid is a pure function of (sde, spec), both fixed here (spec
         # is frozen) — computing it once in __init__ keeps _step free of
         # hidden state set as a side effect of ensure_compiled
@@ -136,7 +153,7 @@ class DiffusionSampler:
 
     # ------------------------------------------------------------- steps
     def _step(self, score_fn, x, key, t, t_prev, datafitscale, trafo, rhs,
-              observation):
+              observation, dc_sinv=None):
         spec, sde = self.spec, self.sde
         if spec.method == "uncond":
             if sde.prediction_type == "score":
@@ -148,7 +165,8 @@ class DiffusionSampler:
                 trafo = dataclasses.replace(trafo, precision=spec.cg_precision)
             return P.dds_step(score_fn, sde, x, key, t, t_prev, rhs,
                               trafo, spec.gamma, spec.eta, spec.cg_iter,
-                              spec.use_simplified_eqn)
+                              spec.use_simplified_eqn,
+                              observation=observation, dc_sinv=dc_sinv)
         nloglik = P.make_nloglik(trafo, observation)
         if isinstance(sde, DDPM):
             if spec.method == "dps":
@@ -184,7 +202,7 @@ class DiffusionSampler:
         self._batch_sharding = batch_sharding
         self._reshard_batch()
 
-        def run(key, params, trafo, rhs, observation, filtbackproj):
+        def run(key, params, trafo, rhs, observation, filtbackproj, dc_sinv):
             if self.score_apply is not None:
                 score_fn = lambda xx, tt: self.score_apply(params, xx, tt)
             else:
@@ -208,7 +226,7 @@ class DiffusionSampler:
                 tvec = jnp.full((b,), t)
                 tpvec = jnp.full((b,), t_prev)
                 x_next, x_mean = self._step(score_fn, x, sub, tvec, tpvec, dfs,
-                                            trafo, rhs, observation)
+                                            trafo, rhs, observation, dc_sinv)
                 if spec.corrector_steps > 0 and self.sde.prediction_type == "score":
                     key, csub = jax.random.split(key)
                     nll = (P.make_nloglik(trafo, observation)
@@ -267,7 +285,7 @@ class DiffusionSampler:
         self._reshard_batch()      # new per-image inputs since last call
         x_mean, trace = compiled(key, self.score_params, self.ray_trafo,
                                  self.rhs, self.observation,
-                                 self.filtbackproj)
+                                 self.filtbackproj, self.dc_sinv)
         return (x_mean, trace) if return_trace else (x_mean, None)
 
 
@@ -281,7 +299,7 @@ def get_standard_sampler(method: str, score_fn, sde, ray_trafo, observation,
                          score_apply=None, score_params=None,
                          add_corrector_step: bool = False,
                          corrector_snr: float = 0.16,
-                         cg_precision="high") -> DiffusionSampler:
+                         cg_precision="high", dc_mode="cg") -> DiffusionSampler:
     """Factory mirroring reference `get_standard_sampler`
     (exp_utils.py:123-223) with the same defaults and flags."""
     import math
@@ -297,7 +315,8 @@ def get_standard_sampler(method: str, score_fn, sde, ray_trafo, observation,
         travel_length=travel_length, travel_repeat=travel_repeat,
         early_stopping_pct=early_stopping_pct, use_simplified_eqn=True,
         corrector_steps=1 if add_corrector_step else 0,
-        corrector_snr=corrector_snr, cg_precision=cg_precision)
+        corrector_snr=corrector_snr, cg_precision=cg_precision,
+        dc_mode=dc_mode)
     return DiffusionSampler(score_fn, sde, spec, ray_trafo, observation,
                             ground_truth=ground_truth, filtbackproj=filtbackproj,
                             score_apply=score_apply, score_params=score_params)

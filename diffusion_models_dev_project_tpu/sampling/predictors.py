@@ -53,7 +53,17 @@ def make_nloglik(ray_trafo, observation: jnp.ndarray) -> Callable:
 
 
 def make_dc_op(ray_trafo, gamma: float) -> Callable:
-    """x -> x + gamma AᵀA x, the CG system operator (samplers/utils.py:188-189)."""
+    """x -> x + gamma AᵀA x, the CG system operator (samplers/utils.py:188-189).
+
+    Operators exposing a fused `gram` (the FFT-shear projector with
+    `with_gram()` tables) compute AᵀA in one frequency-domain pipeline —
+    algebraically identical to adjoint(apply(x)), measurably faster."""
+    if getattr(ray_trafo, "gram_q", None) is not None:
+
+        def op(x):
+            return x + gamma * ray_trafo.gram(x)
+
+        return op
 
     def op(x):
         return x + gamma * ray_trafo.adjoint(ray_trafo.apply(x))
@@ -158,16 +168,26 @@ def dds_step(
     eta: float,
     cg_iter: int,
     use_simplified_eqn: bool = True,
+    observation: Optional[jnp.ndarray] = None,
+    dc_sinv: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decomposed Diffusion Sampling predictor (samplers/utils.py:159-218).
 
-    One UNet forward + Tweedie + `cg_iter` CG iterations on
-    (I + gamma AᵀA) xhat = xhat0 + gamma Aᵀy + DDIM update.
+    One UNet forward + Tweedie + data consistency + DDIM update.  Data
+    consistency solves (I + gamma AᵀA) xhat = xhat0 + gamma Aᵀy — with
+    `cg_iter` CG iterations (reference semantics), or exactly via the
+    sinogram-space Woodbury identity when `dc_sinv` (the precomputed
+    (gamma⁻¹I + AAᵀ)⁻¹) and `observation` are given (ops/woodbury.py).
     """
-    op = make_dc_op(ray_trafo, gamma)
     s = score_fn(x, t)
     xhat0 = tweedy(s, x, sde, t)
-    xhat = cg(op, xhat0, xhat0 + gamma * rhs, n_iter=cg_iter)
+    if dc_sinv is not None:
+        from ..ops.woodbury import woodbury_dc
+
+        xhat = woodbury_dc(ray_trafo, dc_sinv, xhat0, observation)
+    else:
+        op = make_dc_op(ray_trafo, gamma)
+        xhat = cg(op, xhat0, xhat0 + gamma * rhs, n_iter=cg_iter)
     x_next = ddim(sde, s, xhat, t, t_prev, eta, key,
                   use_simplified_eqn=use_simplified_eqn)
     return x_next, xhat0

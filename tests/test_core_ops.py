@@ -215,3 +215,37 @@ def test_score_matching_loss_sigma_stratified():
                                       sigma_alpha=alpha))
         assert prev < w <= (1.0 + alpha) * plain + 1e-6, (alpha, prev, w)
         prev = w
+
+
+def test_woodbury_dc_solves_the_cg_system_exactly():
+    """woodbury_dc must return the EXACT solution of
+    (I + gamma AᵀA) x = xhat0 + gamma Aᵀ y for a matrix-backed operator
+    (ops/woodbury.py), i.e. agree with a fully-converged CG."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from diffusion_models_dev_project_tpu.physics.ray_trafo import (
+        DenseRayTransform)
+    from diffusion_models_dev_project_tpu.ops.woodbury import (
+        build_woodbury_sinv, woodbury_dc)
+
+    rng = np.random.default_rng(5)
+    n_obs, h = 40, 12                       # obs dim < pixel dim (sparse CT)
+    A = rng.standard_normal((n_obs, h * h)).astype(np.float32) * 0.3
+    trafo = DenseRayTransform(jnp.asarray(A), im_shape=(h, h),
+                              obs_shape=(5, 8))
+    gamma = 0.05
+    xhat0 = jnp.asarray(rng.standard_normal((2, h, h, 1)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((2, 5, 8, 1)).astype(np.float32))
+
+    sinv = build_woodbury_sinv(trafo, gamma)
+    out = np.asarray(woodbury_dc(trafo, sinv, xhat0, y))
+
+    # dense direct solve of the image-space normal equations
+    M = np.eye(h * h, dtype=np.float64) + gamma * (A.T.astype(np.float64) @ A)
+    for b in range(2):
+        rhs = (np.asarray(xhat0)[b, :, :, 0].ravel()
+               + gamma * A.T @ np.asarray(y)[b, :, :, 0].ravel())
+        ref = np.linalg.solve(M, rhs)
+        np.testing.assert_allclose(out[b, :, :, 0].ravel(), ref,
+                                   rtol=2e-4, atol=2e-4)

@@ -113,3 +113,46 @@ def test_coprime_angle_counts_stay_quadrant_batched():
         lhs = float(jnp.vdot(fft.apply(x), y))
         rhs = float(jnp.vdot(x, fft.adjoint(y)))
         np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_fused_gram_matches_adjoint_apply():
+    """`with_gram().gram(x)` must equal adjoint(apply(x)) to round-off —
+    including at angle counts that force padded duplicate slots (90 ->
+    pad-to-max stacking), whose contributions must be masked out of the
+    detector-stage Gram."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from diffusion_models_dev_project_tpu.physics.fft_radon import (
+        make_fft_parallel_trafo)
+
+    rng = np.random.default_rng(7)
+    for n_ang in (60, 90):
+        trafo = make_fft_parallel_trafo((32, 32), n_ang).with_gram()
+        assert trafo.gram_q is not None
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 1)).astype(np.float32))
+        ref = np.asarray(trafo.adjoint(trafo.apply(x)))
+        fused = np.asarray(trafo.gram(x))
+        rel = np.abs(fused - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 5e-5, (n_ang, rel)
+
+
+def test_fused_gram_inside_dds_cg_is_identical():
+    """The CG data-consistency solve with the fused Gram operator must give
+    the same result as the unfused one (make_dc_op dispatch)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from diffusion_models_dev_project_tpu.physics.fft_radon import (
+        make_fft_parallel_trafo)
+    from diffusion_models_dev_project_tpu.sampling.predictors import make_dc_op
+    from diffusion_models_dev_project_tpu.ops.cg import cg
+
+    rng = np.random.default_rng(11)
+    plain = make_fft_parallel_trafo((32, 32), 30)
+    fused = plain.with_gram()
+    x0 = jnp.asarray(rng.standard_normal((1, 32, 32, 1)).astype(np.float32))
+    rhs = jnp.asarray(rng.standard_normal((1, 32, 32, 1)).astype(np.float32))
+    out_a = np.asarray(cg(make_dc_op(plain, 0.01), x0, x0 + 0.01 * rhs, 5))
+    out_b = np.asarray(cg(make_dc_op(fused, 0.01), x0, x0 + 0.01 * rhs, 5))
+    np.testing.assert_allclose(out_a, out_b, rtol=2e-4, atol=2e-5)
