@@ -159,6 +159,7 @@ def train_score_model(
     epochs: int,
     steps_per_epoch: int,
     lr: float = 1e-4,
+    lr_warmup_steps: int = 0,
     grad_clip: float = None,
     ema_decay: float = 0.999,
     ema_warm_start_steps: int = 400,
@@ -197,9 +198,16 @@ def train_score_model(
     winning snapshot can never be garbage-collected (the round-3 lesson:
     orbax max_to_keep deleted a 10/10-good snapshot mid-eval).
     """
+    # Warm-start shock guard: a fresh Adam has no second-moment calibration,
+    # so its first steps move every weight by ~lr regardless of gradient
+    # scale — measured in round 5 to destroy a 30.4 dB warm-start checkpoint
+    # down to 6 dB within 500 steps at lr=1e-4.  A linear lr warmup lets the
+    # moments calibrate while the params stay near the init.
+    lr_sched = (optax.linear_schedule(0.0, lr, lr_warmup_steps)
+                if lr_warmup_steps > 0 else lr)
     optimizer = (optax.chain(optax.clip_by_global_norm(grad_clip),
-                             optax.adam(lr))
-                 if grad_clip else optax.adam(lr))
+                             optax.adam(lr_sched))
+                 if grad_clip else optax.adam(lr_sched))
     # copy the caller's params: the jitted step donates the state buffers,
     # which would otherwise invalidate the caller's arrays
     init_params = jax.tree_util.tree_map(lambda v: jnp.array(v, copy=True),

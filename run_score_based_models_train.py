@@ -26,6 +26,12 @@ parser.add_argument("--lr", default=None, help="override learning rate")
 parser.add_argument("--num_channels", default=None, help="override model width")
 parser.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
                     help="compute dtype (params stay fp32)")
+parser.add_argument("--lr_warmup", default=0, type=int,
+                    help="linear lr warmup steps (extension; REQUIRED for "
+                    "--init_ckpt warm starts: a fresh Adam's uncalibrated "
+                    "second moments move every weight by ~lr per step, "
+                    "measured r5 to wreck a 30 dB checkpoint to 6 dB within "
+                    "500 steps at lr=1e-4)")
 parser.add_argument("--grad_clip", default=None,
                     help="global-norm gradient clipping (extension; the "
                     "sigma-weighted DSM loss has heavy-tailed gradients)")
@@ -35,6 +41,13 @@ parser.add_argument("--init_ckpt", default=None,
                     "random init; optimizer state starts fresh. Used to "
                     "continue a run whose orbax state is gone from its "
                     "shipped EMA weights")
+parser.add_argument("--init_ckpt_partial", action="store_true",
+                    help="with --init_ckpt: copy only the leaves whose "
+                    "shapes match the fresh init and keep the fresh init "
+                    "elsewhere — cross-family warm starts (e.g. seeding the "
+                    "learn_sigma out_channels=2 AAPM model from a 1-channel "
+                    "ellipse prior: every block transfers, the final conv "
+                    "keeps its ADM zero init)")
 parser.add_argument("--run_dir", default=None,
                     help="reuse this run directory instead of creating a new "
                     "version_{N} dir; training resumes exactly from its "
@@ -135,8 +148,26 @@ def coordinator(args):
         # NOTE: pass the resolved UNetConfig (model.cfg), not the raw
         # ml_collections model block — the .pt converter needs the derived
         # fields (model_channels, channel_mult tuple) to map names
-        params = F._load_params(str(args.init_ckpt), model.cfg, use_ema=False)
-        print(f"warm-started params from {args.init_ckpt}")
+        loaded = F._load_params(str(args.init_ckpt), model.cfg, use_ema=False)
+        if args.init_ckpt_partial:
+            from flax.traverse_util import flatten_dict, unflatten_dict
+
+            fresh = flatten_dict(params)
+            src = flatten_dict(loaded)
+            copied = skipped = 0
+            for k, v in fresh.items():
+                s = src.get(k)
+                if s is not None and s.shape == v.shape:
+                    fresh[k] = s
+                    copied += 1
+                else:
+                    skipped += 1
+            params = unflatten_dict(fresh)
+            print(f"partial warm start from {args.init_ckpt}: "
+                  f"{copied} leaves copied, {skipped} kept at fresh init")
+        else:
+            params = loaded
+            print(f"warm-started params from {args.init_ckpt}")
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(params))
     print("Number of parameters:", n_params)
@@ -285,6 +316,7 @@ def coordinator(args):
         epochs=config.training.epochs,
         steps_per_epoch=steps_per_epoch,
         lr=float(config.training.lr),
+        lr_warmup_steps=int(args.lr_warmup),
         grad_clip=float(args.grad_clip) if args.grad_clip else None,
         ema_decay=(float(args.ema_decay) if args.ema_decay is not None
                    else config.training.ema_decay),
