@@ -75,6 +75,9 @@ def main():
     p.add_argument("--small_conv_matmul", default=1024, type=int,
                    help="H*W threshold below which 3x3 convs run as im2col "
                    "matmuls (see UNetConfig.small_conv_matmul); 0 = off")
+    p.add_argument("--pallas_conv_min", default=0, type=int,
+                   help="H*W threshold at/above which 3x3 convs run as the "
+                   "Pallas 9-shifted-matmul kernel (ops/conv3x3.py); 0 = off")
     p.add_argument("--batch", default=1, type=int,
                    help="reconstruction chains per scan (the CLI's "
                    "--shard_images batching on one chip).  The headline "
@@ -94,7 +97,8 @@ def main():
                      attention_resolutions=(16,), num_heads=4,
                      num_head_channels=64, use_scale_shift_norm=True,
                      resblock_updown=True, dtype="bfloat16",
-                     small_conv_matmul=args.small_conv_matmul)
+                     small_conv_matmul=args.small_conv_matmul,
+                     pallas_conv_min=args.pallas_conv_min)
     model = UNetModel(cfg)
     params = (trained_params if trained_params is not None
               else _random_params(model, cfg))
@@ -177,6 +181,7 @@ def main():
         "model_channels": model_channels,
         "params_dtype": args.params_dtype,
         "small_conv_matmul": args.small_conv_matmul,
+        "pallas_conv_min": args.pallas_conv_min,
         **extra,
     }))
 

@@ -64,6 +64,12 @@ class UNetConfig:
     # (8², 16² inside the 256² UNet) runs far off the weight-bandwidth
     # roofline; 0 disables (always XLA conv).
     small_conv_matmul: int = 0
+    # 3x3 stride-1 convs whose spatial extent H*W is >= this threshold run
+    # as the Pallas 9-shifted-matmul kernel (ops/conv3x3.py): the haloed
+    # row-tile of x is staged into VMEM once and all nine taps contract
+    # from it.  bf16 compute only (fp32 parity paths keep XLA conv);
+    # 0 disables.
+    pallas_conv_min: int = 0
     # Test-time LoRA adaptation (reference lora.py:282-357): rank 0 disables.
     # When enabled, low-rank branches are added to every conv/dense inside
     # ResBlock/AttentionBlock modules of the included block groups; their
@@ -119,6 +125,7 @@ def create_model_config(model_cfg) -> UNetConfig:
         dtype=getattr(model_cfg, "dtype", "float32"),
         attention_impl=getattr(model_cfg, "attention_impl", "auto"),
         small_conv_matmul=int(getattr(model_cfg, "small_conv_matmul", 0)),
+        pallas_conv_min=int(getattr(model_cfg, "pallas_conv_min", 0)),
     )
 
 
@@ -265,10 +272,11 @@ class GroupNorm32(nn.Module):
 
 
 def _conv(out_ch, kernel=3, stride=1, name=None, zero_init=False, dtype=jnp.float32,
-          precision=None, small_matmul=0):
+          precision=None, small_matmul=0, pallas_min=0):
     init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
-    if small_matmul and kernel == 3 and stride == 1:
+    if (small_matmul or pallas_min) and kernel == 3 and stride == 1:
         return MatmulConv3x3(out_ch, threshold=int(small_matmul),
+                             pallas_min=int(pallas_min),
                              zero_init=zero_init, name=name, dtype=dtype,
                              precision=precision)
     # stride-2 3x3 convs use explicit symmetric padding 1 (torch semantics);
@@ -296,6 +304,7 @@ class MatmulConv3x3(nn.Module):
 
     features: int
     threshold: int = 0
+    pallas_min: int = 0
     zero_init: bool = False
     dtype: jnp.dtype = jnp.float32
     precision: object = None
@@ -310,6 +319,13 @@ class MatmulConv3x3(nn.Module):
         b, h, w, _ = x.shape
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
+        if (self.pallas_min and h * w >= self.pallas_min and cin >= 64
+                and h % 16 == 0 and x.dtype == jnp.bfloat16):
+            # big-shape bf16 fast path: Pallas 9-shifted-matmul kernel
+            # (ops/conv3x3.py); fp32/parity configs never reach here
+            from ..ops.conv3x3 import conv3x3_same
+
+            return conv3x3_same(x, kernel, bias)
         if h * w <= self.threshold:
             xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
             # tap order (di, dj, cin) matches the row-major flatten of the
@@ -416,6 +432,7 @@ class ResBlock(nn.Module):
     precision: object = None
     lora_rank: int = 0
     small_conv_matmul: int = 0
+    pallas_conv_min: int = 0
 
     @nn.compact
     def __call__(self, x, emb, *, deterministic: bool = True, lora_scale=1.0):
@@ -430,7 +447,8 @@ class ResBlock(nn.Module):
             h = _avg_pool2(h)
             x = _avg_pool2(x)
         h1 = _conv(s.out_ch, name="conv1", dtype=self.dtype, precision=self.precision,
-                   small_matmul=self.small_conv_matmul)(h)
+                   small_matmul=self.small_conv_matmul,
+                   pallas_min=self.pallas_conv_min)(h)
         if r:
             h1 = h1 + LoRAConv(s.out_ch, r, name="conv1_lora",
                                precision=self.precision)(h, lora_scale)
@@ -454,7 +472,8 @@ class ResBlock(nn.Module):
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h2 = _conv(s.out_ch, name="conv2", zero_init=True, dtype=self.dtype,
-                   precision=self.precision, small_matmul=self.small_conv_matmul)(h)
+                   precision=self.precision, small_matmul=self.small_conv_matmul,
+                   pallas_min=self.pallas_conv_min)(h)
         if r:
             h2 = h2 + LoRAConv(s.out_ch, r, name="conv2_lora",
                                precision=self.precision)(h, lora_scale)
@@ -531,6 +550,7 @@ class Sample(nn.Module):
     dtype: jnp.dtype = jnp.float32
     precision: object = None
     small_conv_matmul: int = 0
+    pallas_conv_min: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -540,7 +560,8 @@ class Sample(nn.Module):
             if s.use_conv:
                 x = _conv(s.out_ch, name="conv", dtype=self.dtype,
                           precision=self.precision,
-                          small_matmul=self.small_conv_matmul)(x)
+                          small_matmul=self.small_conv_matmul,
+                          pallas_min=self.pallas_conv_min)(x)
             return x
         if s.use_conv:
             return _conv(s.out_ch, stride=2, name="conv", dtype=self.dtype,
@@ -574,6 +595,7 @@ class UNetModel(nn.Module):
                             self.cfg.use_scale_shift_norm, dtype=dtype,
                             precision=prec, lora_rank=self._lora_rank_for(name),
                             small_conv_matmul=self.cfg.small_conv_matmul,
+                            pallas_conv_min=self.cfg.pallas_conv_min,
                             name=name)
         if isinstance(spec, AttnSpec):
             return AttentionBlock(spec, dtype=dtype, precision=prec,
@@ -582,7 +604,8 @@ class UNetModel(nn.Module):
                                   name=name)
         if isinstance(spec, SampleSpec):
             return Sample(spec, dtype=dtype, precision=prec,
-                          small_conv_matmul=self.cfg.small_conv_matmul, name=name)
+                          small_conv_matmul=self.cfg.small_conv_matmul,
+                          pallas_conv_min=self.cfg.pallas_conv_min, name=name)
         if isinstance(spec, ConvSpec):
             return _conv(spec.out_ch, name=name, dtype=dtype, precision=prec)
         raise TypeError(spec)
