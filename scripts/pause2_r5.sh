@@ -18,12 +18,13 @@ timeout 900 python bench.py --pallas_conv_min 16384
 # control at current defaults
 timeout 900 python bench.py
 
-# 2. VESDE r5b progress: 10-image eta=0.15 protocol on the current best
-timeout 1800 python scripts/eval_flagship_256.py \
-    --ckpt outputs/flagship_r5b/best_ema.msgpack.npz --num_images 10 --eta 0.15
-# and the rolling tail average
-timeout 1800 python scripts/eval_flagship_256.py \
-    --ckpt outputs/flagship_r5b/avg_ema_tail.msgpack.npz --num_images 10 --eta 0.15
+# 2. probe all VESDE candidates in ONE compiled sampler: the r5b best, its
+# tail average, and cross-run mixes with the shipped prior (scripts/mix_ckpts.py)
+sleep 60
+timeout 1800 python scripts/probe_score.py --ckpt checkpoints/flagship_vesde_256_ema.msgpack.npz,outputs/flagship_r5b/best_ema.msgpack.npz,outputs/flagship_r5b/avg_ema_tail.msgpack.npz,outputs/mix_ship_best.msgpack.npz,outputs/mix_ship75_best25.msgpack.npz
+
+# 2b. 10-image eta=0.15 protocol on the probe winner (fill in from 2):
+# timeout 1800 python scripts/eval_flagship_256.py --ckpt <winner> --num_images 10 --eta 0.15
 
 # 3. the wedged DDPM fp32 parity control from pause 1
 sleep 60   # relay cooldown between processes

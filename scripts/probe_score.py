@@ -17,7 +17,9 @@ import argparse
 import numpy as np
 
 parser = argparse.ArgumentParser()
-parser.add_argument("--ckpt", required=True)
+parser.add_argument("--ckpt", required=True,
+                    help="checkpoint path, or comma-separated list — all "
+                    "scored by ONE compiled sampler (params re-upload only)")
 parser.add_argument("--sde", default="vesde", choices=["vesde", "vpsde", "ddpm"])
 parser.add_argument("--num_channels", default=128, type=int)
 parser.add_argument("--num_steps", default=200, type=int)
@@ -40,15 +42,17 @@ from diffusion_models_dev_project_tpu.utils.metrics import PSNR  # noqa: E402
 
 
 def main():
+    ckpts = args.ckpt.split(",")
     config = get_config(args.sde)
     config.model.num_channels = args.num_channels
     config.model.dtype = "bfloat16"
-    config.ckpt_path = args.ckpt
+    config.ckpt_path = ckpts[0]
     sde = F.get_standard_sde(config)
     model, params, _ = F.get_standard_score(config, sde, use_ema=True,
                                             load_model=True)
-    params = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16), params)   # trainer probes at bf16
+    cast = jax.jit(lambda p: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), p))       # trainer probes at bf16
+    params = cast(params)
 
     val_cfg = get_config(args.sde)
     val_cfg.data.part = "val"
@@ -68,12 +72,18 @@ def main():
         filtbackproj=fbp,
         score_apply=lambda p, x, t: model.apply({"params": p}, x, t),
         score_params=params)
-    x, _ = sampler.sample(jax.random.PRNGKey(config.seed + 13))
-    x = np.asarray(x)
     gt_np = np.asarray(gt)
-    vals = [PSNR(x[i, ..., 0], gt_np[i, ..., 0]) for i in range(x.shape[0])]
-    print(f"probe({args.ckpt}, {args.num_steps} steps): "
-          f"mean {np.mean(vals):.3f} dB  per-image {[f'{v:.2f}' for v in vals]}")
+    for j, ck in enumerate(ckpts):
+        if j > 0:                       # same pytree shape: params swap only
+            sampler.score_params = cast(F._load_params(ck, model.cfg,
+                                                       use_ema=True))
+        x, _ = sampler.sample(jax.random.PRNGKey(config.seed + 13))
+        x = np.asarray(x)
+        vals = [PSNR(x[i, ..., 0], gt_np[i, ..., 0])
+                for i in range(x.shape[0])]
+        print(f"probe({ck}, {args.num_steps} steps): "
+              f"mean {np.mean(vals):.3f} dB  per-image "
+              f"{[f'{v:.2f}' for v in vals]}", flush=True)
 
 
 if __name__ == "__main__":
