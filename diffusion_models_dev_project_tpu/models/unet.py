@@ -322,10 +322,13 @@ class MatmulConv3x3(nn.Module):
         if (self.pallas_min and h * w >= self.pallas_min and cin >= 64
                 and h % 16 == 0 and x.dtype == jnp.bfloat16):
             # big-shape bf16 fast path: Pallas 9-shifted-matmul kernel
-            # (ops/conv3x3.py); fp32/parity configs never reach here
+            # (ops/conv3x3.py); fp32/parity configs never reach here.
+            # tile_h scales down with cin to fit the pipelined row blocks
+            # in VMEM (cin=512 at 256² OOMs 16 MB at tile_h=8 — BENCH.md r5)
             from ..ops.conv3x3 import conv3x3_same
 
-            return conv3x3_same(x, kernel, bias)
+            return conv3x3_same(x, kernel, bias,
+                                tile_h=8 if cin <= 256 else 4)
         if h * w <= self.threshold:
             xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
             # tap order (di, dj, cin) matches the row-major flatten of the
