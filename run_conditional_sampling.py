@@ -60,6 +60,12 @@ parser.add_argument("--small_conv_matmul", default=1024, type=int,
                     "UNetConfig.small_conv_matmul); 0 = XLA conv everywhere. "
                     "Default on since r5 (measured-fastest config, BENCH.md "
                     "r4/r5)")
+parser.add_argument("--pallas_conv_min", default=0, type=int,
+                    help="H*W threshold above which the UNet's 3x3 convs "
+                    "run as the Pallas 9-shift kernel (ops/conv3x3.py; "
+                    "+20%% over XLA conv at the 256^2 level, BENCH.md r5); "
+                    "0 = XLA conv. 16384 captures the measured-winning "
+                    "shapes")
 parser.add_argument("--params_dtype", default="bfloat16",
                     choices=["float32", "bfloat16"],
                     help="UNet weight storage dtype; bfloat16 halves the "
@@ -101,6 +107,8 @@ def coordinator(args):
         config.model.num_channels = int(args.num_channels)
     if args.small_conv_matmul:
         config.model.small_conv_matmul = int(args.small_conv_matmul)
+    if args.pallas_conv_min:
+        config.model.pallas_conv_min = int(args.pallas_conv_min)
     if args.sigma_max is not None:
         config.sde.sigma_max = float(args.sigma_max)
     try:

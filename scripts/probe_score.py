@@ -24,6 +24,9 @@ parser.add_argument("--sde", default="vesde", choices=["vesde", "vpsde", "ddpm"]
 parser.add_argument("--num_channels", default=128, type=int)
 parser.add_argument("--num_steps", default=200, type=int)
 parser.add_argument("--platform", default=None, choices=[None, "cpu"])
+parser.add_argument("--pallas_conv_min", default=0, type=int,
+                    help="dispatch 3x3 convs with H*W >= this to the Pallas "
+                    "9-shift kernel (ops/conv3x3.py); 0 = XLA conv")
 args = parser.parse_args()
 
 import jax  # noqa: E402
@@ -46,6 +49,7 @@ def main():
     config = get_config(args.sde)
     config.model.num_channels = args.num_channels
     config.model.dtype = "bfloat16"
+    config.model.pallas_conv_min = int(args.pallas_conv_min)
     config.ckpt_path = ckpts[0]
     sde = F.get_standard_sde(config)
     model, params, _ = F.get_standard_score(config, sde, use_ema=True,
