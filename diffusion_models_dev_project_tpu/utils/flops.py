@@ -53,6 +53,21 @@ def _sub_jaxprs(eqn):
     elif name == "while":
         yield p["cond_jaxpr"].jaxpr, 1.0     # lower bound: one trip
         yield p["body_jaxpr"].jaxpr, 1.0
+    elif name == "pallas_call":
+        # the kernel jaxpr computes ONE grid cell; total = kernel × |grid|
+        # (without this, the generic branch below counts a single tile and
+        # bench MFU under-reports — observed 12.4% vs 41.7% actual for the
+        # 9-shift conv UNet, BENCH.md r5)
+        grid = getattr(p.get("grid_mapping"), "grid", ())
+        mult = 1.0
+        for g in grid:
+            try:
+                mult *= float(g)
+            except (TypeError, ValueError):   # symbolic dim: keep bound
+                pass
+        sub = p.get("jaxpr")
+        if sub is not None:
+            yield getattr(sub, "jaxpr", sub), mult
     elif name == "cond":
         branches = p["branches"]
         # take the max-cost branch (can't know which executes)

@@ -49,3 +49,17 @@ def test_unet_forward_magnitude():
     # largest single conv: 3x3, 32->32 at 64² = 2*64*64*32*32*9 ≈ 0.24 GF
     assert flops > 2 * 64 * 64 * 32 * 32 * 9
     assert flops < 1e12
+
+
+def test_pallas_call_grid_multiplier():
+    """pallas_call kernels compute ONE grid cell; the counter must scale by
+    |grid| (BENCH.md r5: one-tile counting under-reported the 9-shift conv
+    UNet's MFU 12.4% vs 41.7% actual)."""
+    from diffusion_models_dev_project_tpu.ops.conv3x3 import conv3x3_same
+
+    H, W, Cin, Cout = 64, 64, 32, 32
+    x = jnp.zeros((1, H, W, Cin), jnp.float32)
+    k = jnp.zeros((3, 3, Cin, Cout), jnp.float32)
+    b = jnp.zeros((Cout,), jnp.float32)
+    flops = fn_flops(lambda v: conv3x3_same(v, k, b, tile_h=8), x)
+    assert flops == 2.0 * H * W * Cin * Cout * 9
